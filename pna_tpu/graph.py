@@ -1,0 +1,220 @@
+"""Static-shape graph data structures for TPU.
+
+The reference keeps three graph representations (dense ``B x N x N`` adjacency in
+``models/pytorch/pna/aggregators.py:7-8``, DGL degree-bucketed mailboxes in
+``models/dgl/pna_layer.py:45-50``, and PyG edge lists in
+``models/pytorch_geometric/pna.py:129-159``).  On TPU we collapse everything into a
+single padded edge-list representation: XLA requires static shapes, and segment
+operations over an edge list are degree-agnostic (no degree bucketing, no ragged
+mailboxes).  A dense-adjacency adapter is kept as a first-class citizen because the
+multitask benchmark's graphs are tiny (N <= 100) and dense aggregation maps directly
+onto the MXU.
+
+Conventions
+-----------
+* An edge ``k`` carries a message from ``senders[k]`` to ``receivers[k]``.  The dense
+  equivalent is ``adj[i, j] == 1  =>  sender=j, receiver=i`` so that aggregating over
+  ``receivers`` reproduces ``sum_j adj[i, j] * X[j]`` (row-normalised aggregation as in
+  ``models/pytorch/pna/aggregators.py:19-26``).
+* Padding: node/edge/graph arrays are padded to static sizes.  Padded edges have
+  ``senders == receivers == n_node_pad - 1`` and ``edge_mask == False``; padded nodes
+  live at the tail with ``node_mask == False`` and belong to the last (padded) graph.
+* ``node_graph_ids`` maps each node to its graph for batched readouts, replacing
+  ``dgl.batch`` (``realworld_benchmark/data/molecules.py:163``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class Graph:
+    """A (batch of) graph(s) as one padded edge list.
+
+    All leaves are jnp arrays with static shapes; the whole object is a pytree and
+    can flow through jit/pjit/shard_map.
+    """
+
+    node_feats: jnp.ndarray            # [N_pad, F] float
+    senders: jnp.ndarray               # [E_pad] int32 (message source)
+    receivers: jnp.ndarray             # [E_pad] int32 (message destination)
+    node_graph_ids: jnp.ndarray        # [N_pad] int32
+    node_mask: jnp.ndarray             # [N_pad] bool
+    edge_mask: jnp.ndarray             # [E_pad] bool
+    graph_mask: jnp.ndarray            # [G_pad] bool
+    edge_feats: Optional[jnp.ndarray] = None   # [E_pad, Fe] float
+    # graph-norm factors sqrt(1/|V_g|), sqrt(1/|E_g|) per node/edge
+    # (reference: realworld_benchmark/data/molecules.py:153-164)
+    snorm_n: Optional[jnp.ndarray] = None      # [N_pad, 1] float
+    snorm_e: Optional[jnp.ndarray] = None      # [E_pad, 1] float
+
+    @property
+    def n_node_pad(self) -> int:
+        return self.node_feats.shape[0]
+
+    @property
+    def n_edge_pad(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def n_graph_pad(self) -> int:
+        return self.graph_mask.shape[0]
+
+    def in_degrees(self, dtype=jnp.float32) -> jnp.ndarray:
+        """Number of in-edges per node ([N_pad]). Padded edges do not count."""
+        ones = self.edge_mask.astype(dtype)
+        return jax.ops.segment_sum(ones, self.receivers,
+                                   num_segments=self.n_node_pad)
+
+    def out_degrees(self, dtype=jnp.float32) -> jnp.ndarray:
+        ones = self.edge_mask.astype(dtype)
+        return jax.ops.segment_sum(ones, self.senders,
+                                   num_segments=self.n_node_pad)
+
+    def nodes_per_graph(self, dtype=jnp.float32) -> jnp.ndarray:
+        ones = self.node_mask.astype(dtype)
+        return jax.ops.segment_sum(ones, self.node_graph_ids,
+                                   num_segments=self.n_graph_pad)
+
+
+# ---------------------------------------------------------------------------
+# Construction helpers (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_graph(
+    node_feats: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_feats: Optional[np.ndarray] = None,
+    n_node_pad: Optional[int] = None,
+    n_edge_pad: Optional[int] = None,
+) -> Graph:
+    """Build a single-graph ``Graph`` with optional padding."""
+    return batch_graphs(
+        [dict(node_feats=node_feats, senders=senders, receivers=receivers,
+              edge_feats=edge_feats)],
+        n_node_pad=n_node_pad, n_edge_pad=n_edge_pad, n_graph_pad=1 if n_node_pad is None else None)
+
+
+def batch_graphs(
+    graphs: Sequence[dict],
+    n_node_pad: Optional[int] = None,
+    n_edge_pad: Optional[int] = None,
+    n_graph_pad: Optional[int] = None,
+    node_pad_multiple: int = 8,
+    edge_pad_multiple: int = 128,
+    with_snorm: bool = False,
+) -> Graph:
+    """Static-shape batcher replacing ``dgl.batch``.
+
+    Each element of ``graphs`` is a dict with keys ``node_feats`` [n, F],
+    ``senders`` [e], ``receivers`` [e] and optionally ``edge_feats`` [e, Fe].
+    Node indices are offset per graph; everything is padded to static sizes.
+
+    Padding adds one extra "garbage" graph at the end that owns all padded nodes;
+    padded edges self-loop on the last padded node so segment ops scatter their
+    (masked-out) contributions away from real nodes.
+    """
+    n_total = sum(int(g["node_feats"].shape[0]) for g in graphs)
+    e_total = sum(int(len(g["senders"])) for g in graphs)
+    n_graphs = len(graphs)
+
+    if n_node_pad is None:
+        n_node_pad = _round_up(n_total + 1, node_pad_multiple)
+    if n_edge_pad is None:
+        n_edge_pad = max(_round_up(max(e_total, 1), edge_pad_multiple), edge_pad_multiple)
+    if n_graph_pad is None:
+        n_graph_pad = n_graphs + 1
+    if n_node_pad < n_total + (1 if n_node_pad > n_total else 0):
+        raise ValueError(f"n_node_pad={n_node_pad} < total nodes {n_total}")
+    if n_edge_pad < e_total:
+        raise ValueError(f"n_edge_pad={n_edge_pad} < total edges {e_total}")
+
+    feat_dim = graphs[0]["node_feats"].shape[1] if graphs[0]["node_feats"].ndim > 1 else 0
+    has_ef = graphs[0].get("edge_feats") is not None
+    ef_dim = graphs[0]["edge_feats"].shape[1] if has_ef else 0
+
+    node_feats = np.zeros((n_node_pad, feat_dim), dtype=np.float32)
+    senders = np.full((n_edge_pad,), n_node_pad - 1, dtype=np.int32)
+    receivers = np.full((n_edge_pad,), n_node_pad - 1, dtype=np.int32)
+    node_graph_ids = np.full((n_node_pad,), n_graph_pad - 1, dtype=np.int32)
+    node_mask = np.zeros((n_node_pad,), dtype=bool)
+    edge_mask = np.zeros((n_edge_pad,), dtype=bool)
+    graph_mask = np.zeros((n_graph_pad,), dtype=bool)
+    edge_feats = np.zeros((n_edge_pad, ef_dim), dtype=np.float32) if has_ef else None
+    snorm_n = np.ones((n_node_pad, 1), dtype=np.float32) if with_snorm else None
+    snorm_e = np.ones((n_edge_pad, 1), dtype=np.float32) if with_snorm else None
+
+    n_off, e_off = 0, 0
+    for gi, g in enumerate(graphs):
+        n = int(g["node_feats"].shape[0])
+        e = int(len(g["senders"]))
+        node_feats[n_off:n_off + n] = np.asarray(g["node_feats"], dtype=np.float32).reshape(n, -1)
+        senders[e_off:e_off + e] = np.asarray(g["senders"], dtype=np.int32) + n_off
+        receivers[e_off:e_off + e] = np.asarray(g["receivers"], dtype=np.int32) + n_off
+        node_graph_ids[n_off:n_off + n] = gi
+        node_mask[n_off:n_off + n] = True
+        edge_mask[e_off:e_off + e] = True
+        graph_mask[gi] = True
+        if has_ef:
+            edge_feats[e_off:e_off + e] = np.asarray(g["edge_feats"], dtype=np.float32).reshape(e, -1)
+        if with_snorm:
+            # sqrt(1/n) per node, sqrt(1/e) per edge (molecules.py:153-164)
+            snorm_n[n_off:n_off + n] = np.sqrt(1.0 / max(n, 1))
+            snorm_e[e_off:e_off + e] = np.sqrt(1.0 / max(e, 1))
+        n_off += n
+        e_off += e
+
+    return Graph(
+        node_feats=jnp.asarray(node_feats),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        node_graph_ids=jnp.asarray(node_graph_ids),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        edge_feats=jnp.asarray(edge_feats) if has_ef else None,
+        snorm_n=jnp.asarray(snorm_n) if with_snorm else None,
+        snorm_e=jnp.asarray(snorm_e) if with_snorm else None,
+    )
+
+
+def from_dense(adj: np.ndarray, node_feats: np.ndarray,
+               n_node_pad: Optional[int] = None,
+               n_edge_pad: Optional[int] = None) -> Graph:
+    """Convert a batch of dense graphs (``adj`` [B, N, N], feats [B, N, F]) to an
+    edge-list ``Graph``.  ``adj[b, i, j] = 1`` becomes an edge ``j -> i`` so that the
+    segment aggregation over receivers matches the dense row-sum semantics of
+    ``models/pytorch/pna/aggregators.py:19-26``.
+    """
+    adj = np.asarray(adj)
+    node_feats = np.asarray(node_feats)
+    gs = []
+    for b in range(adj.shape[0]):
+        recv, send = np.nonzero(adj[b])  # adj[i, j] -> edge j -> i
+        gs.append(dict(node_feats=node_feats[b], senders=send, receivers=recv))
+    return batch_graphs(gs, n_node_pad=n_node_pad, n_edge_pad=n_edge_pad)
+
+
+def sort_by_receiver(graph: Graph) -> Graph:
+    """Sort edges by receiver id (stable).  Required by the fused Pallas kernel so
+    each edge tile touches a contiguous node range; a no-op for XLA segment ops."""
+    order = jnp.argsort(graph.receivers, stable=True)
+    return graph.replace(
+        senders=graph.senders[order],
+        receivers=graph.receivers[order],
+        edge_mask=graph.edge_mask[order],
+        edge_feats=None if graph.edge_feats is None else graph.edge_feats[order],
+        snorm_e=None if graph.snorm_e is None else graph.snorm_e[order],
+    )
