@@ -61,7 +61,13 @@ def aggregate_mean(X, adj, self_loop=False):
 
 
 def aggregate_max(X, adj, self_loop=False):
-    # masked max (aggregators.py:29-38)
+    # masked max (aggregators.py:29-38).
+    # QUIRK (faithfully reproduced): the reference reduces over dim -3 (the
+    # *first* node axis) while mean/sum reduce over dim 2 — so max/min aggregate
+    # the transposed messages X[j, i] instead of X[i, j].  With the symmetric
+    # adjacencies of all reference workloads the neighbour sets coincide but the
+    # message values differ.  The segment bank uses the consistent direction;
+    # tests/test_aggregators.py covers the transposition explicitly.
     if self_loop:
         adj = _with_self_loop(adj)
     M = jnp.where(adj[..., None] > 0.0, X, -jnp.inf)

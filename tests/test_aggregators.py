@@ -98,7 +98,15 @@ def test_segment_matches_dense(name):
                             mask=g.edge_mask, senders=g.senders,
                             self_msg=jnp.asarray(self_msg))
     ours = np.asarray(SEGMENT_AGGREGATORS[name](ctx))[:B * N].reshape(B, N, D)
-    dense = np.asarray(DENSE_AGGREGATORS[name](jnp.asarray(X), jnp.asarray(adj)))
+    if name in ("max", "min"):
+        # Reference dense max/min reduce over dim -3, i.e. the transposed
+        # message direction (models/pytorch/pna/aggregators.py:37,49 vs the
+        # dim=2 sums elsewhere).  The segment bank uses the consistent
+        # direction, which equals the dense op applied to X^T.
+        X_cmp = np.swapaxes(X, 1, 2)
+    else:
+        X_cmp = X
+    dense = np.asarray(DENSE_AGGREGATORS[name](jnp.asarray(X_cmp), jnp.asarray(adj)))
     np.testing.assert_allclose(ours, dense, rtol=2e-4, atol=2e-4)
 
 
