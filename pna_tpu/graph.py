@@ -141,18 +141,27 @@ def batch_graphs(
     if n_edge_pad < e_total:
         raise ValueError(f"n_edge_pad={n_edge_pad} < total edges {e_total}")
 
-    feat_dim = graphs[0]["node_feats"].shape[1] if graphs[0]["node_feats"].ndim > 1 else 0
+    g0_feats = np.asarray(graphs[0]["node_feats"])
+    feat_dim = g0_feats.shape[1] if g0_feats.ndim > 1 else 1
+    feat_dtype = (np.int32 if np.issubdtype(g0_feats.dtype, np.integer)
+                  else np.float32)
     has_ef = graphs[0].get("edge_feats") is not None
-    ef_dim = graphs[0]["edge_feats"].shape[1] if has_ef else 0
+    if has_ef:
+        g0_ef = np.asarray(graphs[0]["edge_feats"])
+        ef_dim = g0_ef.shape[1] if g0_ef.ndim > 1 else 1
+        ef_dtype = (np.int32 if np.issubdtype(g0_ef.dtype, np.integer)
+                    else np.float32)
+    else:
+        ef_dim = 0
 
-    node_feats = np.zeros((n_node_pad, feat_dim), dtype=np.float32)
+    node_feats = np.zeros((n_node_pad, feat_dim), dtype=feat_dtype)
     senders = np.full((n_edge_pad,), n_node_pad - 1, dtype=np.int32)
     receivers = np.full((n_edge_pad,), n_node_pad - 1, dtype=np.int32)
     node_graph_ids = np.full((n_node_pad,), n_graph_pad - 1, dtype=np.int32)
     node_mask = np.zeros((n_node_pad,), dtype=bool)
     edge_mask = np.zeros((n_edge_pad,), dtype=bool)
     graph_mask = np.zeros((n_graph_pad,), dtype=bool)
-    edge_feats = np.zeros((n_edge_pad, ef_dim), dtype=np.float32) if has_ef else None
+    edge_feats = np.zeros((n_edge_pad, ef_dim), dtype=ef_dtype) if has_ef else None
     snorm_n = np.ones((n_node_pad, 1), dtype=np.float32) if with_snorm else None
     snorm_e = np.ones((n_edge_pad, 1), dtype=np.float32) if with_snorm else None
 
@@ -160,7 +169,7 @@ def batch_graphs(
     for gi, g in enumerate(graphs):
         n = int(g["node_feats"].shape[0])
         e = int(len(g["senders"]))
-        node_feats[n_off:n_off + n] = np.asarray(g["node_feats"], dtype=np.float32).reshape(n, -1)
+        node_feats[n_off:n_off + n] = np.asarray(g["node_feats"], dtype=feat_dtype).reshape(n, -1)
         senders[e_off:e_off + e] = np.asarray(g["senders"], dtype=np.int32) + n_off
         receivers[e_off:e_off + e] = np.asarray(g["receivers"], dtype=np.int32) + n_off
         node_graph_ids[n_off:n_off + n] = gi
@@ -168,7 +177,7 @@ def batch_graphs(
         edge_mask[e_off:e_off + e] = True
         graph_mask[gi] = True
         if has_ef:
-            edge_feats[e_off:e_off + e] = np.asarray(g["edge_feats"], dtype=np.float32).reshape(e, -1)
+            edge_feats[e_off:e_off + e] = np.asarray(g["edge_feats"], dtype=ef_dtype).reshape(e, -1)
         if with_snorm:
             # sqrt(1/n) per node, sqrt(1/e) per edge (molecules.py:153-164)
             snorm_n[n_off:n_off + n] = np.sqrt(1.0 / max(n, 1))

@@ -135,12 +135,17 @@ class GATHeadDense(nn.Module):
         a = self.param('a', init, (2 * self.out_features, 1))
         h = x @ W  # [B, N, F']
         B, N, Fh = h.shape
-        # e[b, i, j] = leakyrelu(a^T cat(h_i, h_j)); split a into the h_i part
-        # and the h_j part to avoid materialising the N^2 concat.
-        a_i, a_j = a[:Fh, 0], a[Fh:, 0]
-        e = jax.nn.leaky_relu(
-            (h @ a_i)[:, :, None] + (h @ a_j)[:, None, :],
-            negative_slope=self.alpha)
+        # QUIRK (faithfully reproduced): the reference builds the pairwise
+        # concat with torch.cat(..., dim=1) — the *sequence* axis — inherited
+        # from 2-D pyGAT where dim=1 was the feature axis
+        # (models/pytorch/gat/layer.py:28-29).  For batched 3-D inputs this
+        # scrambles the (i, j) pairing; we reproduce the exact reshape
+        # semantics so per-layer activations match.
+        h_i = jnp.tile(h, (1, 1, N)).reshape(B, N * N, Fh)
+        h_j = jnp.tile(h, (1, N, 1))
+        a_input = jnp.concatenate([h_i, h_j], axis=1).reshape(B, N, N, 2 * Fh)
+        e = jax.nn.leaky_relu(jnp.squeeze(a_input @ a, -1),
+                              negative_slope=self.alpha)
         e = jnp.where(adj > 0, e, -9e15)  # reference mask value (:32-34)
         # QUIRK (reproduced): softmax over dim=1 — the *source/row* axis — then
         # h' = attention @ h (:35-36).

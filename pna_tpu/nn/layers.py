@@ -152,10 +152,35 @@ class GRUUpdate(nn.Module):
         shape = h.shape
         h2 = h.reshape(-1, shape[-1])
         y2 = y.reshape(-1, y.shape[-1])
+        # reference pads input/hidden up to input_size/hidden_size with zeros
+        # (models/layers.py:258-261)
+        if h2.shape[-1] < self.hidden_size:
+            h2 = jnp.pad(h2, ((0, 0), (0, self.hidden_size - h2.shape[-1])))
+        if y2.shape[-1] < self.hidden_size:
+            y2 = jnp.pad(y2, ((0, 0), (0, self.hidden_size - y2.shape[-1])))
         # reference: gru(input=x, hidden=y) at models/layers.py:263 — the *input*
         # is the previous state x and the *hidden* is the conv output y.
         new = nn.GRUCell(features=self.hidden_size)(y2, h2)[0]
         return new.reshape(shape[:-1] + (self.hidden_size,))
+
+
+class _Set2SetStep(nn.Module):
+    """One Set2Set iteration: LSTM -> attention over nodes -> readout concat.
+    Wrapped by nn.scan in Set2Set (params broadcast across steps)."""
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        x, mask = inputs
+        (c, h), q_star = carry
+        (c, h), q = nn.OptimizedLSTMCell(features=x.shape[-1],
+                                         name='lstm')((c, h), q_star)
+        e = jnp.einsum('bnd,bd->bn', x, q)
+        if mask is not None:
+            e = jnp.where(mask, e, -jnp.inf)
+        a = jax.nn.softmax(e, axis=1)
+        r = jnp.einsum('bn,bnd->bd', a, x)
+        q_star = jnp.concatenate([q, r], axis=-1)
+        return ((c, h), q_star), ()
 
 
 class Set2Set(nn.Module):
@@ -171,26 +196,17 @@ class Set2Set(nn.Module):
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         B, N, D = x.shape
         steps = self.steps or N
-        lstm = nn.OptimizedLSTMCell(features=D)
 
         c0 = jnp.zeros((B, D), x.dtype)
         h0 = jnp.zeros((B, D), x.dtype)
         q_star0 = jnp.zeros((B, 2 * D), x.dtype)
 
-        def step(carry, _):
-            (c, h), q_star = carry
-            (c, h), q = lstm((c, h), q_star)
-            e = jnp.einsum('bnd,bd->bn', x, q)
-            if mask is not None:
-                e = jnp.where(mask, e, -jnp.inf)
-            a = jax.nn.softmax(e, axis=1)
-            r = jnp.einsum('bn,bnd->bd', a, x)
-            q_star = jnp.concatenate([q, r], axis=-1)
-            return ((c, h), q_star), None
-
-        # scan keeps the step compiled once; steps is static
-        ((c, h), q_star), _ = jax.lax.scan(step, ((c0, h0), q_star0), None,
-                                           length=steps)
+        scan = nn.scan(_Set2SetStep,
+                       variable_broadcast='params',
+                       split_rngs={'params': False},
+                       in_axes=nn.broadcast, out_axes=0,
+                       length=steps)
+        ((c, h), q_star), _ = scan(name='step')(((c0, h0), q_star0), (x, mask))
         return q_star
 
 

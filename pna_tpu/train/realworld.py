@@ -1,0 +1,235 @@
+"""Real-world benchmark training pipeline — equivalent of
+``realworld_benchmark/main_molecules.py:73-193`` (and the superpixels/HIV
+variants): Adam + ReduceLROnPlateau, per-epoch train/eval, min-LR stop,
+max_time stop, best-checkpoint selection.
+
+TPU-native notes: train/eval steps are jitted per padded-batch shape (the
+bucketed ``batch_iterator`` keeps the shape set small); the optimizer carries
+the learning rate in its state via ``optax.inject_hyperparams`` so plateau
+reductions do not retrigger compilation.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from pna_tpu.data.molecules import batch_iterator
+from pna_tpu.train import metrics as M
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau (mode='min') equivalent
+    (used at main_molecules.py:107-111)."""
+
+    def __init__(self, lr: float, factor: float = 0.5, patience: int = 10,
+                 min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float('inf')
+        self.bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad = 0
+        return self.lr
+
+
+@dataclass
+class PipelineConfig:
+    """params section of the reference JSON configs
+    (realworld_benchmark/configs/*.json)."""
+    seed: int = 41
+    epochs: int = 1000
+    batch_size: int = 128
+    init_lr: float = 1e-3
+    lr_reduce_factor: float = 0.5
+    lr_schedule_patience: int = 10
+    min_lr: float = 1e-5
+    weight_decay: float = 3e-6
+    max_time: float = 48.0  # hours
+    in_feat_dropout: float = 0.0
+    checkpoint_path: Optional[str] = None
+    metric: str = 'mae'  # 'mae' | 'accuracy' | 'roc_auc'
+
+
+def make_optimizer(cfg: PipelineConfig):
+    def inner(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(learning_rate),
+        )
+    return optax.inject_hyperparams(inner)(learning_rate=cfg.init_lr)
+
+
+class RealworldTrainer:
+    """Generic trainer for the PNANet* models on batched sparse graphs.
+
+    ``forward_args(graph)`` adapts the model call signature per benchmark:
+    molecules pass (graph, node_idx, edge_idx), HIV passes (graph, node_feats).
+    """
+
+    def __init__(self, model, loss_fn: Callable, cfg: PipelineConfig,
+                 forward_args: Callable[[Any, Any], tuple] = None,
+                 metric: Optional[str] = None):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.cfg = cfg
+        self.metric = metric or cfg.metric
+        self.tx = make_optimizer(cfg)
+        self.forward_args = forward_args or (
+            lambda graph: (graph, graph.node_feats.squeeze(-1)))
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, example_graph, example_labels):
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        args = self.forward_args(example_graph)
+        variables = self.model.init({'params': rng}, *args, train=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', FrozenDict())
+        opt_state = self.tx.init(params)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        print("MODEL/Total parameters:", n_params)
+        return dict(params=params, batch_stats=batch_stats,
+                    opt_state=opt_state, rng=rng)
+
+    # -- steps ------------------------------------------------------------
+    def _build_steps(self):
+        model, loss_fn, fwd = self.model, self.loss_fn, self.forward_args
+
+        def train_step(params, batch_stats, opt_state, rng, graph, labels):
+            rng, dropout_rng = jax.random.split(rng)
+
+            def lf(p):
+                out, mutated = model.apply(
+                    {'params': p, 'batch_stats': batch_stats}, *fwd(graph),
+                    train=True, rngs={'dropout': dropout_rng},
+                    mutable=['batch_stats'])
+                l = loss_fn(out, labels, graph.graph_mask)
+                return l, (mutated['batch_stats'], out)
+
+            (l, (new_stats, out)), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, rng, l, out
+
+        def eval_step(params, batch_stats, graph, labels):
+            out = model.apply({'params': params, 'batch_stats': batch_stats},
+                              *fwd(graph), train=False)
+            l = loss_fn(out, labels, graph.graph_mask)
+            return l, out
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- epochs -----------------------------------------------------------
+    def _epoch_metric(self, outs, labels, masks) -> float:
+        outs = np.concatenate([np.asarray(o).reshape(len(m), -1)[:, 0]
+                               for o, m in zip(outs, masks)])
+        labels = np.concatenate([np.asarray(l).reshape(-1) for l in labels])
+        mask = np.concatenate([np.asarray(m).reshape(-1) for m in masks])
+        if self.metric == 'mae':
+            return M.MAE(outs, labels, mask)
+        if self.metric == 'roc_auc':
+            return M.roc_auc(outs, labels, mask)
+        raise ValueError(self.metric)
+
+    def _epoch_metric_multiclass(self, outs, labels, masks) -> float:
+        o = np.concatenate([np.asarray(x).reshape(len(m), -1)
+                            for x, m in zip(outs, masks)])
+        l = np.concatenate([np.asarray(x).reshape(-1) for x in labels])
+        m = np.concatenate([np.asarray(x).reshape(-1) for x in masks])
+        return M.accuracy(o, l, m) / max(m.sum(), 1)
+
+    def run_epoch(self, state, records: List[dict], train: bool, seed: int,
+                  batch_size: Optional[int] = None):
+        if self._train_step is None:
+            self._build_steps()
+        batch_size = batch_size or self.cfg.batch_size
+        losses, outs, labels_all, masks = [], [], [], []
+        for graph, labels in batch_iterator(records, batch_size, seed,
+                                            shuffle=train):
+            labels_j = jnp.asarray(labels)
+            if train:
+                (state['params'], state['batch_stats'], state['opt_state'],
+                 state['rng'], l, out) = self._train_step(
+                    state['params'], state['batch_stats'], state['opt_state'],
+                    state['rng'], graph, labels_j)
+            else:
+                l, out = self._eval_step(state['params'], state['batch_stats'],
+                                         graph, labels_j)
+            losses.append(float(l))
+            outs.append(out)
+            labels_all.append(labels)
+            masks.append(np.asarray(graph.graph_mask))
+        if self.metric == 'accuracy':
+            metric = self._epoch_metric_multiclass(outs, labels_all, masks)
+        else:
+            metric = self._epoch_metric(outs, labels_all, masks)
+        return float(np.mean(losses)), metric
+
+    # -- full pipeline ----------------------------------------------------
+    def fit(self, dataset, log_fn: Callable[[str], None] = print,
+            epochs: Optional[int] = None,
+            select_best: str = 'min'):
+        """train_val_pipeline (main_molecules.py:73-193): epoch loop with
+        plateau LR schedule, min-LR stop, max_time stop; tracks the epoch with
+        the best validation metric and reports its test metric."""
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        g0, l0 = next(batch_iterator(dataset.train, cfg.batch_size, 0,
+                                     shuffle=False))
+        state = self.init_state(g0, jnp.asarray(l0))
+        scheduler = ReduceLROnPlateau(cfg.init_lr, cfg.lr_reduce_factor,
+                                      cfg.lr_schedule_patience, cfg.min_lr)
+        history = []
+        best_val = float('inf') if select_best == 'min' else -float('inf')
+        best = None
+        t0 = time.time()
+        for epoch in range(epochs):
+            tl, tm = self.run_epoch(state, dataset.train, True, cfg.seed + epoch)
+            vl, vm = self.run_epoch(state, dataset.val, False, 0)
+            _, test_m = self.run_epoch(state, dataset.test, False, 0)
+            history.append(dict(epoch=epoch, train_loss=tl, train_metric=tm,
+                                val_loss=vl, val_metric=vm, test_metric=test_m,
+                                lr=scheduler.lr))
+            improved = (vm < best_val) if select_best == 'min' else (vm > best_val)
+            if improved:
+                best_val = vm
+                best = dict(epoch=epoch, val_metric=vm, test_metric=test_m,
+                            params=jax.tree_util.tree_map(np.asarray,
+                                                          state['params']),
+                            batch_stats=jax.tree_util.tree_map(
+                                np.asarray, state['batch_stats']))
+                if cfg.checkpoint_path:
+                    with open(cfg.checkpoint_path, 'wb') as f:
+                        pickle.dump({k: v for k, v in best.items()}, f)
+            log_fn(f"epoch {epoch}: train_loss {tl:.4f} val_metric {vm:.4f} "
+                   f"test_metric {test_m:.4f} lr {scheduler.lr:.2e}")
+            new_lr = scheduler.step(vl)
+            state['opt_state'].hyperparams['learning_rate'] = jnp.asarray(new_lr)
+            if new_lr <= cfg.min_lr:
+                log_fn("LR below min_lr, stopping (main_molecules.py:154-156)")
+                break
+            if (time.time() - t0) / 3600.0 > cfg.max_time:
+                log_fn("max_time reached, stopping (main_molecules.py:158-162)")
+                break
+        return state, best, history

@@ -131,7 +131,7 @@ def port_lstm_cell(torch_lstm, hidden_size):
 
 
 def port_set2set(s2s):
-    return {'OptimizedLSTMCell_0': port_lstm_cell(s2s.lstm, s2s.nin)}, {}
+    return {'step': {'lstm': port_lstm_cell(s2s.lstm, s2s.nin)}}, {}
 
 
 def port_s2s_readout(r):

@@ -1,0 +1,64 @@
+"""Distributed edge-partitioned aggregation == single-device segment
+aggregation (SURVEY §4: distributed ring; runs on the 8-device virtual CPU
+mesh from conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pna_tpu.graph import build_graph
+from pna_tpu.nn.sparse import aggregate_bank
+from pna_tpu.parallel.partition import (EdgePartition,
+                                        make_distributed_aggregate,
+                                        partition_edges, powerlaw_graph)
+
+AGGS = ('mean', 'max', 'min', 'std')
+SCAL = ('identity', 'amplification', 'attenuation')
+AVG_D = {'lin': 3.0, 'log': 1.2}
+
+
+@pytest.mark.parametrize("num_parts", [2, 4, 8])
+def test_partition_matches_single_device(num_parts):
+    num_nodes, num_edges, F = 64, 400, 5
+    send, recv = powerlaw_graph(num_nodes, num_edges, seed=1)
+    part = partition_edges(send, recv, num_nodes, num_parts)
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(num_nodes, F).astype(np.float32)
+
+    # single-device oracle
+    g = build_graph(feats, send.astype(np.int32), recv.astype(np.int32),
+                    n_node_pad=num_nodes + 1,
+                    n_edge_pad=-(-num_edges // 128) * 128)
+    msg = jnp.asarray(np.asarray(g.node_feats))[g.senders]
+    ref = np.asarray(aggregate_bank(g, msg, list(AGGS), list(SCAL), AVG_D))
+
+    # distributed
+    devices = np.array(jax.devices()[:num_parts])
+    mesh = Mesh(devices, ('graph',))
+    nl = part.nodes_per_part
+    feats_pad = np.zeros((num_parts, nl, F), np.float32)
+    flat = feats_pad.reshape(-1, F)
+    flat[:num_nodes] = feats
+    feats_sharded = jax.device_put(
+        jnp.asarray(feats_pad), NamedSharding(mesh, P('graph')))
+
+    agg = make_distributed_aggregate(part, mesh, 'graph', AGGS, SCAL, AVG_D)
+    out = np.asarray(agg(feats_sharded)).reshape(num_parts * nl, -1)
+
+    np.testing.assert_allclose(out[:num_nodes], ref[:num_nodes],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_partition_structure():
+    send, recv = powerlaw_graph(40, 120, seed=0)
+    part = partition_edges(send, recv, 40, 4)
+    assert part.edge_mask.sum() == 120
+    assert part.node_mask.sum() == 40
+    # every real edge's receiver is owned locally
+    for p in range(4):
+        rl = part.receivers_local[p][part.edge_mask[p]]
+        assert rl.max() < part.nodes_per_part
