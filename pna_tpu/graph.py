@@ -54,6 +54,13 @@ class Graph:
     # (reference: realworld_benchmark/data/molecules.py:153-164)
     snorm_n: Optional[jnp.ndarray] = None      # [N_pad, 1] float
     snorm_e: Optional[jnp.ndarray] = None      # [E_pad, 1] float
+    # ELL (padded neighbor-list) layout: for each node, the edge ids of its
+    # in-edges padded to the max in-degree.  This is the TPU-native
+    # aggregation layout — gather + masked reduction over a static axis, no
+    # scatter (XLA scatter is the slow path on TPU).  Built host-side by
+    # ``batch_graphs``; None when degree exceeds ``ell_max_degree``.
+    nbr_edge_ids: Optional[jnp.ndarray] = None  # [N_pad, D_max] int32
+    nbr_mask: Optional[jnp.ndarray] = None      # [N_pad, D_max] bool
 
     @property
     def n_node_pad(self) -> int:
@@ -107,6 +114,33 @@ def build_graph(
         n_node_pad=n_node_pad, n_edge_pad=n_edge_pad, n_graph_pad=1 if n_node_pad is None else None)
 
 
+def build_ell(receivers: np.ndarray, edge_mask: np.ndarray, n_node_pad: int,
+              degree_pad_multiple: int = 4,
+              max_degree: Optional[int] = None):
+    """Build the padded neighbor-list (ELL) layout: for each node the ids of
+    its in-edges, padded to the max in-degree.  Returns (nbr_edge_ids
+    [N, D_max] int32, nbr_mask [N, D_max] bool) or (None, None) when the max
+    degree exceeds ``max_degree``."""
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask)
+    real = np.nonzero(edge_mask)[0]
+    deg = np.bincount(receivers[real], minlength=n_node_pad)
+    dmax = int(deg.max()) if len(real) else 1
+    if max_degree is not None and dmax > max_degree:
+        return None, None
+    dmax = max(-(-max(dmax, 1) // degree_pad_multiple) * degree_pad_multiple,
+               degree_pad_multiple)
+    nbr = np.zeros((n_node_pad, dmax), dtype=np.int32)
+    mask = np.zeros((n_node_pad, dmax), dtype=bool)
+    fill = np.zeros(n_node_pad, dtype=np.int64)
+    for e in real:
+        r = receivers[e]
+        nbr[r, fill[r]] = e
+        mask[r, fill[r]] = True
+        fill[r] += 1
+    return nbr, mask
+
+
 def batch_graphs(
     graphs: Sequence[dict],
     n_node_pad: Optional[int] = None,
@@ -115,6 +149,8 @@ def batch_graphs(
     node_pad_multiple: int = 8,
     edge_pad_multiple: int = 128,
     with_snorm: bool = False,
+    with_ell: bool = True,
+    ell_max_degree: Optional[int] = 256,
 ) -> Graph:
     """Static-shape batcher replacing ``dgl.batch``.
 
@@ -185,6 +221,11 @@ def batch_graphs(
         n_off += n
         e_off += e
 
+    nbr_edge_ids = nbr_mask = None
+    if with_ell:
+        nbr_edge_ids, nbr_mask = build_ell(receivers, edge_mask, n_node_pad,
+                                           max_degree=ell_max_degree)
+
     return Graph(
         node_feats=jnp.asarray(node_feats),
         senders=jnp.asarray(senders),
@@ -196,6 +237,8 @@ def batch_graphs(
         edge_feats=jnp.asarray(edge_feats) if has_ef else None,
         snorm_n=jnp.asarray(snorm_n) if with_snorm else None,
         snorm_e=jnp.asarray(snorm_e) if with_snorm else None,
+        nbr_edge_ids=None if nbr_edge_ids is None else jnp.asarray(nbr_edge_ids),
+        nbr_mask=None if nbr_mask is None else jnp.asarray(nbr_mask),
     )
 
 

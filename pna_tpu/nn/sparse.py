@@ -39,15 +39,27 @@ def aggregate_bank(graph: Graph, msg: jnp.ndarray, aggregators: Sequence[str],
                    degrees: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Aggregator x scaler cross-product over edge messages -> [N, A*S*F].
 
-    The shared-context bank computes count/degree once; XLA fuses the
-    elementwise chains.  This is the op the fused Pallas kernel accelerates.
+    Fast path: when the graph carries the ELL (padded neighbor-list) layout,
+    every aggregator is a gather + masked static-axis reduction that XLA fuses
+    into one pass — no scatter (pna_tpu/ops/ell.py).  Fallback: segment ops.
     """
-    ctx = SegmentCtx.create(msg, graph.receivers, graph.n_node_pad,
-                            mask=graph.edge_mask, senders=graph.senders,
-                            self_msg=self_msg)
-    h = jnp.concatenate([SEGMENT_AGGREGATORS[a](ctx) for a in aggregators],
-                        axis=-1)
-    deg = ctx.count if degrees is None else degrees
+    if graph.nbr_edge_ids is not None:
+        from pna_tpu.ops.ell import ELL_AGGREGATORS, EllCtx
+        out_deg = (graph.out_degrees(msg.dtype)
+                   if 'normalised_mean' in aggregators else None)
+        ctx = EllCtx.create(msg, graph.nbr_edge_ids, graph.nbr_mask,
+                            self_msg=self_msg, senders=graph.senders,
+                            out_deg=out_deg)
+        h = jnp.concatenate([ELL_AGGREGATORS[a](ctx) for a in aggregators],
+                            axis=-1)
+        deg = ctx.raw_cnt[:, 0] if degrees is None else degrees
+    else:
+        ctx = SegmentCtx.create(msg, graph.receivers, graph.n_node_pad,
+                                mask=graph.edge_mask, senders=graph.senders,
+                                self_msg=self_msg)
+        h = jnp.concatenate([SEGMENT_AGGREGATORS[a](ctx) for a in aggregators],
+                            axis=-1)
+        deg = ctx.count if degrees is None else degrees
     h = jnp.concatenate([SCALERS[s](h, deg, avg_d) for s in scalers], axis=-1)
     return h
 
