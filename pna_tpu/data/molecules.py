@@ -130,9 +130,11 @@ def collate_records(records: Sequence[dict],
     """Batch + pad records into a Graph; returns (graph, labels [G_pad])."""
     g = batch_graphs(list(records), n_node_pad=n_node_pad,
                      n_edge_pad=n_edge_pad, with_snorm=with_snorm)
-    labels = np.zeros((g.n_graph_pad,), dtype=np.float32)
+    is_int = isinstance(records[0].get('label', 0.0), (int, np.integer))
+    labels = np.zeros((g.n_graph_pad,), dtype=np.int32 if is_int
+                      else np.float32)
     for i, rec in enumerate(records):
-        labels[i] = rec.get('label', 0.0)
+        labels[i] = rec.get('label', 0)
     return g, labels
 
 

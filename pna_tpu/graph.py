@@ -121,19 +121,24 @@ def build_ell(receivers: np.ndarray, edge_mask: np.ndarray, n_node_pad: int,
     its in-edges, padded to the max in-degree.  Returns (nbr_edge_ids
     [N, D_max] int32, nbr_mask [N, D_max] bool) or (None, None) when the max
     degree exceeds ``max_degree``."""
+    from pna_tpu import native
+
     receivers = np.asarray(receivers)
     edge_mask = np.asarray(edge_mask)
-    real = np.nonzero(edge_mask)[0]
-    deg = np.bincount(receivers[real], minlength=n_node_pad)
-    dmax = int(deg.max()) if len(real) else 1
+    deg = native.degree_count(receivers, edge_mask, n_node_pad)
+    dmax = int(deg.max()) if len(receivers) else 1
     if max_degree is not None and dmax > max_degree:
         return None, None
     dmax = max(-(-max(dmax, 1) // degree_pad_multiple) * degree_pad_multiple,
                degree_pad_multiple)
+    out = native.build_ell_native(receivers, edge_mask, n_node_pad, dmax)
+    if out is not None:
+        return out
+    # pure-python fallback
     nbr = np.zeros((n_node_pad, dmax), dtype=np.int32)
     mask = np.zeros((n_node_pad, dmax), dtype=bool)
     fill = np.zeros(n_node_pad, dtype=np.int64)
-    for e in real:
+    for e in np.nonzero(edge_mask)[0]:
         r = receivers[e]
         nbr[r, fill[r]] = e
         mask[r, fill[r]] = True
