@@ -15,6 +15,7 @@ from flax import linen as nn
 
 from pna_tpu.graph import Graph
 from pna_tpu.nn.layers import GRUUpdate, MLPReadout
+from pna_tpu.nn.fused import PNALayerFused
 from pna_tpu.nn.sparse import PNALayerSparse, PNASimpleLayerSparse
 from pna_tpu.ops.readout import readout
 
@@ -83,6 +84,8 @@ class PNANetMolecules(nn.Module):
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     gru_enable: bool = False
+    # towers-as-batched-matmuls fast path (pna_tpu/nn/fused.py); same math
+    fused_towers: bool = True
 
     @nn.compact
     def __call__(self, graph: Graph, h_idx, e_idx=None, train: bool = False):
@@ -109,7 +112,8 @@ class PNANetMolecules(nn.Module):
 
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
-            conv = PNALayerSparse(
+            layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
+            conv = layer_cls(
                 out_dim=self.out_dim if last else self.hidden_dim,
                 divide_input=(self.divide_input_last if last
                               else self.divide_input_first),
@@ -158,6 +162,8 @@ class PNANetSuperpixels(nn.Module):
     pretrans_layers: int = 1
     posttrans_layers: int = 1
     gru_enable: bool = False
+    # towers-as-batched-matmuls fast path (pna_tpu/nn/fused.py); same math
+    fused_towers: bool = True
 
     @nn.compact
     def __call__(self, graph: Graph, h, e=None, train: bool = False):
@@ -184,7 +190,8 @@ class PNANetSuperpixels(nn.Module):
 
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
-            conv = PNALayerSparse(
+            layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
+            conv = layer_cls(
                 out_dim=self.out_dim if last else self.hidden_dim,
                 divide_input=(self.divide_input_last if last
                               else self.divide_input_first),
