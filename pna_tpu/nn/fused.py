@@ -116,9 +116,21 @@ class PNALayerFused(nn.Module):
 
         # one pass of the aggregator x scaler bank over all towers at once
         A, S = len(self.aggregators), len(self.scalers)
-        agg = aggregate_bank(graph, msg.reshape(-1, T * Ft),
-                             list(self.aggregators), list(self.scalers),
-                             self.avg_d, self_msg=self_msg)   # [N, S*A*T*Ft]
+        from pna_tpu.ops import fused_vjp
+        if (graph.nbr_edge_ids is not None
+                and fused_vjp.supports(self.aggregators, self.scalers)):
+            # custom-VJP fused kernel: forward = one moment-sketch pass,
+            # backward = node partials + one gather (no scatter)
+            bank = fused_vjp.make_fused_bank(graph.receivers, graph.edge_mask)
+            deg = jnp.sum(graph.nbr_mask, axis=1).astype(h.dtype)
+            agg = bank(msg.reshape(-1, T * Ft), graph.nbr_edge_ids,
+                       graph.nbr_mask, deg, tuple(self.aggregators),
+                       tuple(self.scalers), dict(self.avg_d))
+            agg = agg.reshape(agg.shape[0], -1)               # [N, S*A*T*Ft]
+        else:
+            agg = aggregate_bank(graph, msg.reshape(-1, T * Ft),
+                                 list(self.aggregators), list(self.scalers),
+                                 self.avg_d, self_msg=self_msg)  # [N, S*A*T*Ft]
         # reorder (s, a, t, f) -> per-tower (t, s, a, f)
         agg = agg.reshape(N, S, A, T, Ft)
         agg = jnp.transpose(agg, (0, 3, 1, 2, 4)).reshape(N, T, S * A * Ft)
