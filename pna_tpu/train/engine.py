@@ -44,6 +44,7 @@ class TrainConfig:
     checkpoint_path: Optional[str] = None
     # TPU-native additions
     data_parallel: bool = False  # shard bucket batches over all devices
+    metrics_path: Optional[str] = None  # JSONL per-epoch metrics
 
 
 class MultitaskTrainer:
@@ -167,6 +168,11 @@ class MultitaskTrainer:
         state = state or self.init_state()
         epochs = epochs if epochs is not None else cfg.epochs
 
+        logger = None
+        if cfg.metrics_path:
+            from pna_tpu.utils.logging import MetricsLogger
+            logger = MetricsLogger(cfg.metrics_path)
+
         best = float('inf')
         best_params = None
         best_stats = None
@@ -176,6 +182,8 @@ class MultitaskTrainer:
         for epoch in range(epochs):
             loss_train = self.train_epoch(state)
             loss_val, _ = self.evaluate(state, 'val')
+            if logger:
+                logger.log(epoch, loss_train=loss_train, loss_val=loss_val)
             if loss_val < best:
                 best = loss_val
                 best_params = jax.tree_util.tree_map(np.asarray, state['params'])
@@ -198,6 +206,8 @@ class MultitaskTrainer:
                 log_fn(f"Early stop at epoch {epoch + 1}")
                 break
 
+        if logger:
+            logger.close()
         # restore best
         state['params'] = jax.tree_util.tree_map(jnp.asarray, best_params)
         state['batch_stats'] = jax.tree_util.tree_map(jnp.asarray, best_stats)

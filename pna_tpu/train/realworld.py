@@ -67,6 +67,7 @@ class PipelineConfig:
     in_feat_dropout: float = 0.0
     checkpoint_path: Optional[str] = None
     metric: str = 'mae'  # 'mae' | 'accuracy' | 'roc_auc'
+    metrics_path: Optional[str] = None  # JSONL per-epoch metrics
 
 
 def make_optimizer(cfg: PipelineConfig):
@@ -200,6 +201,10 @@ class RealworldTrainer:
         state = self.init_state(g0, jnp.asarray(l0))
         scheduler = ReduceLROnPlateau(cfg.init_lr, cfg.lr_reduce_factor,
                                       cfg.lr_schedule_patience, cfg.min_lr)
+        logger = None
+        if cfg.metrics_path:
+            from pna_tpu.utils.logging import MetricsLogger
+            logger = MetricsLogger(cfg.metrics_path)
         history = []
         best_val = float('inf') if select_best == 'min' else -float('inf')
         best = None
@@ -211,6 +216,8 @@ class RealworldTrainer:
             history.append(dict(epoch=epoch, train_loss=tl, train_metric=tm,
                                 val_loss=vl, val_metric=vm, test_metric=test_m,
                                 lr=scheduler.lr))
+            if logger:
+                logger.log(epoch, **history[-1])
             improved = (vm < best_val) if select_best == 'min' else (vm > best_val)
             if improved:
                 best_val = vm
@@ -232,4 +239,6 @@ class RealworldTrainer:
             if (time.time() - t0) / 3600.0 > cfg.max_time:
                 log_fn("max_time reached, stopping (main_molecules.py:158-162)")
                 break
+        if logger:
+            logger.close()
         return state, best, history

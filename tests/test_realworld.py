@@ -23,7 +23,7 @@ def test_zinc_pipeline_learns():
         avg_d=avg_d, readout_type='sum', towers=2, divide_input_first=False,
         divide_input_last=True, graph_norm=True, batch_norm=True,
         residual=True, edge_feat=True, edge_dim=8)
-    cfg = PipelineConfig(epochs=8, batch_size=32, init_lr=5e-3,
+    cfg = PipelineConfig(epochs=14, batch_size=32, init_lr=5e-3,
                          lr_schedule_patience=20, metric='mae')
     trainer = RealworldTrainer(
         model, PNANetMolecules.loss, cfg,
