@@ -27,7 +27,9 @@ def build_bench(batch_graphs_n=256, seed=0):
 
     ds = ZincDataset.synthetic(n_train=batch_graphs_n, n_val=1, n_test=1,
                                seed=seed)
-    graph, labels = collate_records(ds.train, with_snorm=True)
+    # degree-bucketed static layout: gather/scatter-free aggregation path
+    graph, labels = collate_records(ds.train, with_snorm=True,
+                                    bucket_by_degree=True)
     avg_d = ds.avg_d()
     n_edges = int(np.asarray(graph.edge_mask).sum())
 
@@ -39,6 +41,10 @@ def build_bench(batch_graphs_n=256, seed=0):
         avg_d=avg_d, readout_type='sum', towers=5,
         divide_input_first=False, divide_input_last=True,
         graph_norm=True, batch_norm=True, residual=True, edge_feat=False)
+
+    # materialize the batch on device once — the step must not re-upload
+    # host arrays through the transfer path every iteration
+    graph = jax.device_put(graph)
 
     rng = jax.random.PRNGKey(0)
     variables = model.init({'params': rng}, graph,

@@ -26,7 +26,7 @@ Conventions
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,21 @@ class Graph:
     # ``batch_graphs``; None when degree exceeds ``ell_max_degree``.
     nbr_edge_ids: Optional[jnp.ndarray] = None  # [N_pad, D_max] int32
     nbr_mask: Optional[jnp.ndarray] = None      # [N_pad, D_max] bool
+    # CSR row pointers over the receiver-sorted edge list: node n owns edges
+    # [edge_ptr[n], edge_ptr[n+1]).  Present only when the batcher sorted the
+    # edges by receiver; enables the sequential-read Pallas sketch kernel
+    # (pna_tpu/ops/pallas_kernels.py) instead of any gather.
+    edge_ptr: Optional[jnp.ndarray] = None      # [N_pad + 1] int32
+    # Degree-bucketed static layout (the TPU replacement for DGL's runtime
+    # degree bucketing, models/dgl/pna_layer.py:45-50): nodes are ordered by
+    # in-degree bucket, edges by (bucket, receiver), so for each (degree d,
+    # capacity c) in ``bucket_spec`` the corresponding edge range reshapes to
+    # a dense [c, d, F] tensor — aggregation becomes plain axis reductions,
+    # the receiver gather a broadcast, and the backward an expansion: no
+    # gather/scatter at all.  ``bucket_spec`` is static metadata (part of the
+    # pytree structure), so shapes stay XLA-static.
+    bucket_spec: Optional[Tuple[Tuple[int, int], ...]] = struct.field(
+        pytree_node=False, default=None)        # ((degree, capacity), ...)
 
     @property
     def n_node_pad(self) -> int:
@@ -97,6 +112,102 @@ class Graph:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _bucketize(node_feats, senders, receivers, node_graph_ids, node_mask,
+               edge_mask, edge_feats, snorm_n, snorm_e, n_graph_pad,
+               bucket_caps=None):
+    """Reorder a padded batch into the degree-bucketed static layout.
+
+    Nodes are grouped by in-degree (bucket d holds ``cap_d`` node slots, real
+    nodes first, dummy slots after); the edge array is rebuilt so bucket d's
+    range is exactly [cap_d * d] edges with node k's d in-edges contiguous at
+    ``edge_off_d + (k - node_off_d) * d``.  Dummy slots carry masked
+    self-loop edges so every reshape stays dense.  Returns the new arrays
+    plus the static ``bucket_spec`` ((degree, capacity), ...).
+    """
+    N = len(node_mask)
+    deg = np.zeros(N, np.int64)
+    np.add.at(deg, receivers[edge_mask], 1)
+    deg[~node_mask] = 0
+    real = np.nonzero(node_mask)[0]
+
+    counts = {}
+    for d in deg[real]:
+        counts[int(d)] = counts.get(int(d), 0) + 1
+    if bucket_caps is None:
+        caps = dict(counts)
+        caps[0] = caps.get(0, 0) + max(int((~node_mask).sum()), 1)
+    else:
+        caps = {int(d): int(c) for d, c in dict(bucket_caps).items()}
+        for d, c in counts.items():
+            if caps.get(d, 0) < c:
+                raise ValueError(
+                    f"bucket_caps[{d}]={caps.get(d, 0)} < {c} nodes in batch")
+    spec = tuple(sorted((int(d), int(c)) for d, c in caps.items()))
+    max_d = max(d for d, _ in spec)
+    node_off_arr = np.full(max_d + 1, -1, np.int64)
+    edge_off_arr = np.full(max_d + 1, -1, np.int64)
+    n_off = e_off = 0
+    for d, c in spec:
+        node_off_arr[d] = n_off
+        edge_off_arr[d] = e_off
+        n_off += c
+        e_off += c * d
+    N_new, E_new = n_off, max(e_off, 1)
+
+    new_of_old = np.full(N, -1, np.int64)
+    fill = {d: 0 for d, _ in spec}
+    for old in real:      # stable within bucket: original order preserved
+        d = int(deg[old])
+        new_of_old[old] = node_off_arr[d] + fill[d]
+        fill[d] += 1
+
+    nf = np.zeros((N_new,) + node_feats.shape[1:], node_feats.dtype)
+    ngi = np.full(N_new, n_graph_pad - 1, np.int32)
+    nm = np.zeros(N_new, bool)
+    sn = np.ones((N_new, 1), np.float32) if snorm_n is not None else None
+    dst = new_of_old[real]
+    nf[dst] = node_feats[real]
+    ngi[dst] = node_graph_ids[real]
+    nm[dst] = True
+    if sn is not None:
+        sn[dst] = snorm_n[real]
+
+    sends_new = np.zeros(E_new, np.int32)
+    recvs_new = np.zeros(E_new, np.int32)
+    em = np.zeros(E_new, bool)
+    ef = (np.zeros((E_new,) + edge_feats.shape[1:], edge_feats.dtype)
+          if edge_feats is not None else None)
+    se = np.ones((E_new, 1), np.float32) if snorm_e is not None else None
+    # dummy self-loops keep every bucket reshape dense (masked out)
+    for d, c in spec:
+        if d == 0:
+            continue
+        ids = (node_off_arr[d] + np.repeat(np.arange(c), d)).astype(np.int32)
+        sends_new[edge_off_arr[d]:edge_off_arr[d] + c * d] = ids
+        recvs_new[edge_off_arr[d]:edge_off_arr[d] + c * d] = ids
+
+    reals_e = np.nonzero(edge_mask)[0]
+    if len(reals_e):
+        r_new = new_of_old[receivers[reals_e]]
+        order = np.argsort(r_new, kind='stable')
+        sorted_e = reals_e[order]
+        sorted_r = r_new[order]
+        sorted_d = deg[receivers[sorted_e]]
+        slot = (np.arange(len(sorted_e))
+                - np.searchsorted(sorted_r, sorted_r, side='left'))
+        pos = (edge_off_arr[sorted_d]
+               + (sorted_r - node_off_arr[sorted_d]) * sorted_d + slot)
+        sends_new[pos] = new_of_old[senders[sorted_e]]
+        recvs_new[pos] = sorted_r
+        em[pos] = True
+        if ef is not None:
+            ef[pos] = edge_feats[sorted_e]
+        if se is not None:
+            se[pos] = snorm_e[sorted_e]
+
+    return (nf, sends_new, recvs_new, ngi, nm, em, ef, sn, se, spec)
 
 
 def build_graph(
@@ -156,6 +267,9 @@ def batch_graphs(
     with_snorm: bool = False,
     with_ell: bool = True,
     ell_max_degree: Optional[int] = 256,
+    sort_edges: bool = True,
+    bucket_by_degree: bool = False,
+    bucket_caps: Optional[dict] = None,
 ) -> Graph:
     """Static-shape batcher replacing ``dgl.batch``.
 
@@ -226,6 +340,35 @@ def batch_graphs(
         n_off += n
         e_off += e
 
+    bucket_spec = None
+    if bucket_by_degree:
+        (node_feats, senders, receivers, node_graph_ids, node_mask,
+         edge_mask, edge_feats, snorm_n, snorm_e, bucket_spec) = _bucketize(
+            node_feats, senders, receivers, node_graph_ids, node_mask,
+            edge_mask, edge_feats, snorm_n, snorm_e, n_graph_pad,
+            bucket_caps=bucket_caps)
+        n_node_pad = node_feats.shape[0]
+        n_edge_pad = senders.shape[0]
+        sort_edges = False   # bucket order, not global receiver order
+
+    # sort edges by receiver (stable): real edges become receiver-contiguous
+    # (CSR) and padded edges (receiver == n_node_pad - 1) land at the tail —
+    # the layout the fused Pallas kernels stream sequentially.
+    edge_ptr = None
+    if sort_edges:
+        order = np.argsort(receivers, kind='stable')
+        senders = senders[order]
+        receivers = receivers[order]
+        edge_mask = edge_mask[order]
+        if has_ef:
+            edge_feats = edge_feats[order]
+        if with_snorm:
+            snorm_e = snorm_e[order]
+        edge_ptr = np.zeros(n_node_pad + 1, dtype=np.int32)
+        edge_ptr[1:] = np.searchsorted(receivers, np.arange(1, n_node_pad + 1),
+                                       side='left')
+        edge_ptr[-1] = n_edge_pad
+
     nbr_edge_ids = nbr_mask = None
     if with_ell:
         nbr_edge_ids, nbr_mask = build_ell(receivers, edge_mask, n_node_pad,
@@ -244,6 +387,8 @@ def batch_graphs(
         snorm_e=jnp.asarray(snorm_e) if with_snorm else None,
         nbr_edge_ids=None if nbr_edge_ids is None else jnp.asarray(nbr_edge_ids),
         nbr_mask=None if nbr_mask is None else jnp.asarray(nbr_mask),
+        edge_ptr=None if edge_ptr is None else jnp.asarray(edge_ptr),
+        bucket_spec=bucket_spec,
     )
 
 

@@ -2,18 +2,30 @@
 
 The reference loops towers in Python, giving T separate small matmuls whose
 output widths (out_dim/T) waste most of the 128-wide MXU
-(``models/dgl/pna_layer.py:130-139``).  Here the tower axis is folded into the
-matmuls (BASELINE.json north star: "towers/pretransformation MLPs run as
-batched XLA matmuls"):
+(``models/dgl/pna_layer.py:130-139``).  Here the layer is restructured around
+TPU cost realities (math identical; tests/test_fused_layer.py checks
+equivalence with ported weights):
 
-* pretrans: one einsum over stacked tower kernels [T, in, out];
-* the aggregator x scaler bank runs ONCE over the [E, T*F] concatenated
-  messages (one ELL gather instead of T);
-* posttrans/mixing likewise batched.
-
-Math is identical to ``PNALayerSparse`` (same EPS/clamps, per-tower batch-norm
-channels are disjoint so stacking is exact); tests/test_fused_layer.py checks
-equivalence with ported weights."""
+* **No data-side transposes or broadcasts.**  Every tensor stays in its
+  producer's natural layout; all reordering moves into the (tiny) weight
+  tensors, rearranged statically per step.  The pretrans concat(src, dst, e)
+  is never materialized — the first matmul is split along its rows into
+  K_src/K_dst/K_e applied directly to the gathered tensors.
+* **Shared inputs are never tiled.**  With ``divide_input=False`` every tower
+  sees the same input; instead of broadcasting to [E, T, F] (T x HBM
+  traffic) the contraction 'ef,tfo->eto' funnels one copy through the MXU.
+* **The scaler cross-product is never materialized.**  Degree scalers are
+  per-node scalars, so the posttrans contraction runs on the raw aggregator
+  tensor Z [N, A, T, F] and the S scaler weights apply to the (A*S x
+  narrower) [N, T, O, S] output: out = sum_s w[n,s] * (Z . K[s]) instead of
+  (w*Z) . K.  Saves S x HBM traffic through the widest tensor of the layer
+  in both passes.
+* **Custom-VJP aggregation** (pna_tpu/ops/fused_vjp.py): scatter-free
+  backward via node partials + one wide gather.
+* ``compute_dtype=jnp.bfloat16`` runs gathers and matmuls in bf16 (f32
+  accumulation via preferred_element_type; statistics, batch-norm and the
+  residual stay f32).
+"""
 
 from __future__ import annotations
 
@@ -21,11 +33,39 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from pna_tpu.graph import Graph
 from pna_tpu.nn.layers import xavier_uniform_gain
 from pna_tpu.nn.sparse import MaskedBatchNorm, aggregate_bank
+
+
+def _stacked_xavier(in_size):
+    base = xavier_uniform_gain(1.0 / in_size)
+
+    def init(key, shape, dtype=jnp.float32):
+        keys = jax.random.split(key, shape[0])
+        return jnp.stack([base(k, shape[1:], dtype) for k in keys])
+    return init
+
+
+class StackedParams(nn.Module):
+    """Parameter container for per-tower MLP weights: kernel_i [T, in, out],
+    bias_i [T, out] — the exact stacking of T FCLayer towers, so reference
+    weights port 1:1 (tests/test_fused_layer.py)."""
+    dims: Sequence[int]
+    towers: int
+
+    @nn.compact
+    def __call__(self):
+        ks, bs = [], []
+        for i in range(len(self.dims) - 1):
+            ks.append(self.param(f'kernel_{i}', _stacked_xavier(self.dims[i]),
+                                 (self.towers, self.dims[i], self.dims[i + 1])))
+            bs.append(self.param(f'bias_{i}', nn.initializers.zeros,
+                                 (self.towers, self.dims[i + 1])))
+        return ks, bs
 
 
 class StackedMLP(nn.Module):
@@ -53,13 +93,9 @@ class StackedMLP(nn.Module):
         return x
 
 
-def _stacked_xavier(in_size):
-    base = xavier_uniform_gain(1.0 / in_size)
-
-    def init(key, shape, dtype=jnp.float32):
-        keys = jax.random.split(key, shape[0])
-        return jnp.stack([base(k, shape[1:], dtype) for k in keys])
-    return init
+def _mlp_dims(in_size, hidden, out, layers):
+    return ([in_size] + [hidden] * (layers - 1) + [out] if layers > 1
+            else [in_size, out])
 
 
 class PNALayerFused(nn.Module):
@@ -77,6 +113,7 @@ class PNALayerFused(nn.Module):
     divide_input: bool = True
     residual: bool = False
     edge_features: bool = False
+    compute_dtype: Optional[jnp.dtype] = None   # e.g. jnp.bfloat16
 
     @nn.compact
     def __call__(self, graph: Graph, h, e=None, train: bool = False):
@@ -86,59 +123,126 @@ class PNALayerFused(nn.Module):
         assert self.out_dim % T == 0
         Ft = in_dim // T if self.divide_input else in_dim
         Fo = self.out_dim // T
+        Fe = e.shape[-1] if self.edge_features else 0
+        A, S = len(self.aggregators), len(self.scalers)
         residual = self.residual and in_dim == self.out_dim
         h_in = h
         N = h.shape[0]
+        E = graph.senders.shape[0]
+        cdt = self.compute_dtype or h.dtype
 
-        # per-tower input views [N, T, Ft]
+        pre_dims = _mlp_dims(2 * Ft + Fe, Ft, Ft, self.pretrans_layers)
+        post_dims = _mlp_dims((A * S + 1) * Ft, Fo, Fo, self.posttrans_layers)
+        pre_ks, pre_bs = StackedParams(pre_dims, T, name='pretrans')()
+        post_ks, post_bs = StackedParams(post_dims, T, name='posttrans')()
+
+        def ein(x, k):  # per-tower contraction, f32 accumulation
+            return jnp.einsum('etf,tfo->eto', x.astype(cdt), k.astype(cdt),
+                              preferred_element_type=jnp.float32)
+
+        def ein_shared(x, k):  # input shared across towers
+            return jnp.einsum('ef,tfo->eto', x.astype(cdt), k.astype(cdt),
+                              preferred_element_type=jnp.float32)
+
+        # ---- pretrans: split-kernel first layer, no concat materialized ----
+        from pna_tpu.ops import bucketed
+        hb = h.astype(cdt)
+        src = hb[graph.senders]                   # [E, in_dim]
+        if graph.bucket_spec is not None:
+            # receiver "gather" is a broadcast in the bucketed layout
+            dst = bucketed.expand_to_edges(hb, graph.bucket_spec)
+        else:
+            dst = hb[graph.receivers]
+        k0, b0 = pre_ks[0], pre_bs[0]
+        k_src, k_dst = k0[:, :Ft], k0[:, Ft:2 * Ft]
         if self.divide_input:
-            ht = h.reshape(N, T, Ft)
+            msg = (ein(src.reshape(E, T, Ft), k_src)
+                   + ein(dst.reshape(E, T, Ft), k_dst))
         else:
-            ht = jnp.broadcast_to(h[:, None, :], (N, T, Ft))
-
-        src = ht[graph.senders]          # [E, T, Ft]
-        dst = ht[graph.receivers]
-        parts = [src, dst]
+            msg = ein_shared(src, k_src) + ein_shared(dst, k_dst)
         if self.edge_features:
-            eT = jnp.broadcast_to(e[:, None, :], (e.shape[0], T, e.shape[-1]))
-            parts.append(eT)
-        z2 = jnp.concatenate(parts, axis=-1)      # [E, T, 2Ft(+Fe)]
-        pretrans = StackedMLP(hidden=Ft, out=Ft, layers=self.pretrans_layers,
-                              towers=T, name='pretrans')
-        msg = pretrans(z2)                        # [E, T, Ft]
+            msg = msg + ein_shared(e, k0[:, 2 * Ft:])
+        msg = msg + b0
+        for i in range(1, self.pretrans_layers):
+            msg = ein(jax.nn.relu(msg), pre_ks[i]) + pre_bs[i]
+        # msg: [E, T, Ft], flat view is tower-major [E, T*Ft]
 
-        self_msg = None
-        if 'identity' in self.aggregators:
-            zs = [ht, ht]
-            if self.edge_features:
-                zs.append(jnp.zeros((N, T, e.shape[-1]), h.dtype))
-            self_msg = pretrans(jnp.concatenate(zs, axis=-1)).reshape(N, T * Ft)
-
-        # one pass of the aggregator x scaler bank over all towers at once
-        A, S = len(self.aggregators), len(self.scalers)
+        # ---- aggregation ----
         from pna_tpu.ops import fused_vjp
-        if (graph.nbr_edge_ids is not None
-                and fused_vjp.supports(self.aggregators, self.scalers)):
-            # custom-VJP fused kernel: forward = one moment-sketch pass,
-            # backward = node partials + one gather (no scatter)
-            bank = fused_vjp.make_fused_bank(graph.receivers, graph.edge_mask)
-            deg = jnp.sum(graph.nbr_mask, axis=1).astype(h.dtype)
-            agg = bank(msg.reshape(-1, T * Ft), graph.nbr_edge_ids,
-                       graph.nbr_mask, deg, tuple(self.aggregators),
-                       tuple(self.scalers), dict(self.avg_d))
-            agg = agg.reshape(agg.shape[0], -1)               # [N, S*A*T*Ft]
-        else:
-            agg = aggregate_bank(graph, msg.reshape(-1, T * Ft),
-                                 list(self.aggregators), list(self.scalers),
-                                 self.avg_d, self_msg=self_msg)  # [N, S*A*T*Ft]
-        # reorder (s, a, t, f) -> per-tower (t, s, a, f)
-        agg = agg.reshape(N, S, A, T, Ft)
-        agg = jnp.transpose(agg, (0, 3, 1, 2, 4)).reshape(N, T, S * A * Ft)
+        scalers_ok = all(s in fused_vjp._SCALERS for s in self.scalers)
+        no_ident = 'identity' not in self.aggregators
+        bucket_fast = (graph.bucket_spec is not None and scalers_ok
+                       and no_ident and bucketed.supports(self.aggregators))
+        ell_fast = (graph.nbr_edge_ids is not None and no_ident
+                    and fused_vjp.supports(self.aggregators, self.scalers))
+        if bucket_fast or ell_fast:
+            if bucket_fast:
+                # dense per-bucket reductions: no gather/scatter at all
+                Z = bucketed.raw_bank(msg.reshape(E, T * Ft),
+                                      graph.bucket_spec,
+                                      tuple(self.aggregators))  # [N, A, T*Ft]
+                deg = jnp.asarray(bucketed.degrees(graph.bucket_spec))
+            else:
+                bank = fused_vjp.make_raw_bank(graph.receivers,
+                                               graph.edge_mask)
+                Z = bank(msg.reshape(E, T * Ft).astype(cdt),
+                         graph.nbr_edge_ids, graph.nbr_mask,
+                         tuple(self.aggregators))               # [N, A, T*Ft]
+                deg = jnp.sum(graph.nbr_mask, axis=1).astype(jnp.float32)
+            w = fused_vjp._scaler_weights(list(self.scalers), deg,
+                                          dict(self.avg_d))     # [S, N]
 
-        h_cat = jnp.concatenate([ht, agg], axis=-1)   # [N, T, (A*S+1)*Ft]
-        out = StackedMLP(hidden=Fo, out=Fo, layers=self.posttrans_layers,
-                         towers=T, name='posttrans')(h_cat)  # [N, T, Fo]
-        out = out.reshape(N, T * Fo)
+            # ---- posttrans with the scaler axis folded into the output ----
+            kp, bp = post_ks[0], post_bs[0]
+            # rows of kp per tower: [0:Ft] = h part; Ft + s*A*Ft + a*Ft + f
+            k_h = kp[:, :Ft]                                   # [T, Ft, Fo]
+            k_agg = kp[:, Ft:].reshape(T, S, A, Ft, post_dims[1])
+            if self.divide_input:
+                out = jnp.einsum('ntf,tfo->nto', hb.reshape(N, T, Ft)
+                                 .astype(cdt), k_h.astype(cdt),
+                                 preferred_element_type=jnp.float32)
+            else:
+                out = ein_shared(hb, k_h)
+            # Z . K first (no scaler axis in the data), scalers on the output
+            y = jnp.einsum('natf,tsafo->ntos', Z.reshape(N, A, T, Ft)
+                           .astype(cdt), k_agg.astype(cdt),
+                           preferred_element_type=jnp.float32)  # [N,T,O,S]
+            out = out + jnp.einsum('ntos,sn->nto', y,
+                                   w.astype(jnp.float32)) + bp
+        else:
+            # generic path: materialized aggregator x scaler bank
+            self_msg = None
+            if 'identity' in self.aggregators:
+                hs = hb.reshape(N, T, Ft) if self.divide_input else hb
+                if self.divide_input:
+                    sm = ein(hs, k_src) + ein(hs, k_dst)
+                else:
+                    sm = ein_shared(hs, k_src) + ein_shared(hs, k_dst)
+                sm = sm + b0
+                for i in range(1, self.pretrans_layers):
+                    sm = ein(jax.nn.relu(sm), pre_ks[i]) + pre_bs[i]
+                self_msg = sm.reshape(N, T * Ft)
+            agg = aggregate_bank(graph, msg.reshape(E, T * Ft),
+                                 list(self.aggregators), list(self.scalers),
+                                 self.avg_d, self_msg=self_msg)  # [N,S*A*T*Ft]
+            kp, bp = post_ks[0], post_bs[0]
+            k_h = kp[:, :Ft]
+            # rows Ft + (s*A + a)*Ft + f of tower t <- col ((s*A+a)*T + t)*Ft + f
+            k_agg = kp[:, Ft:].reshape(T, S * A, Ft, post_dims[1])
+            if self.divide_input:
+                out = jnp.einsum('ntf,tfo->nto', hb.reshape(N, T, Ft)
+                                 .astype(cdt), k_h.astype(cdt),
+                                 preferred_element_type=jnp.float32)
+            else:
+                out = ein_shared(hb, k_h)
+            out = out + jnp.einsum('nxtf,txfo->nto',
+                                   agg.reshape(N, S * A, T, Ft).astype(cdt),
+                                   k_agg.astype(cdt),
+                                   preferred_element_type=jnp.float32) + bp
+
+        for i in range(1, self.posttrans_layers):
+            out = ein(jax.nn.relu(out), post_ks[i]) + post_bs[i]
+        out = out.reshape(N, T * Fo).astype(jnp.float32)
 
         if self.graph_norm:
             out = out * graph.snorm_n

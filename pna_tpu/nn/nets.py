@@ -86,6 +86,8 @@ class PNANetMolecules(nn.Module):
     gru_enable: bool = False
     # towers-as-batched-matmuls fast path (pna_tpu/nn/fused.py); same math
     fused_towers: bool = True
+    # bf16 matmuls/gathers with f32 accumulation (fused path only)
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, graph: Graph, h_idx, e_idx=None, train: bool = False):
@@ -113,11 +115,13 @@ class PNANetMolecules(nn.Module):
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
             layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
+            extra = ({'compute_dtype': self.compute_dtype}
+                     if self.fused_towers else {})
             conv = layer_cls(
                 out_dim=self.out_dim if last else self.hidden_dim,
                 divide_input=(self.divide_input_last if last
                               else self.divide_input_first),
-                name=f'layer_{i}', **common)
+                name=f'layer_{i}', **extra, **common)
             h_t = conv(graph, h, e, train)
             if gru is not None and not last:
                 h_t = gru(h, h_t)
@@ -164,6 +168,8 @@ class PNANetSuperpixels(nn.Module):
     gru_enable: bool = False
     # towers-as-batched-matmuls fast path (pna_tpu/nn/fused.py); same math
     fused_towers: bool = True
+    # bf16 matmuls/gathers with f32 accumulation (fused path only)
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, graph: Graph, h, e=None, train: bool = False):
@@ -191,11 +197,13 @@ class PNANetSuperpixels(nn.Module):
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
             layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
+            extra = ({'compute_dtype': self.compute_dtype}
+                     if self.fused_towers else {})
             conv = layer_cls(
                 out_dim=self.out_dim if last else self.hidden_dim,
                 divide_input=(self.divide_input_last if last
                               else self.divide_input_first),
-                name=f'layer_{i}', **common)
+                name=f'layer_{i}', **extra, **common)
             h_t = conv(graph, h, e, train)
             if gru is not None and not last:
                 h_t = gru(h, h_t)

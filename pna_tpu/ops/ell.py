@@ -95,7 +95,9 @@ def ell_softmax(ctx: EllCtx):
     mx = jnp.max(jnp.where(ctx.m > 0, ctx.g, -jnp.inf), axis=1, keepdims=True)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     w = jnp.exp(ctx.g - mx) * ctx.m
-    denom = jnp.maximum(jnp.sum(w, axis=1), jnp.finfo(w.dtype).tiny)
+    # empty neighbourhoods: denom 1 (not tiny) — the division VJP squares the
+    # denominator, and tiny**2 underflows to 0 giving NaN gradients
+    denom = jnp.where(ctx.raw_cnt > 0, jnp.sum(w, axis=1), 1.0)
     return jnp.sum(w * ctx.g, axis=1) / denom
 
 

@@ -70,7 +70,7 @@ def _scaler_weights(scalers, deg, avg_d):
     return jnp.stack(ws)  # [S, N]
 
 
-def _forward_stats(msg, nbr_edge_ids, nbr_mask):
+def _forward_stats(msg, nbr_edge_ids, nbr_mask, with_ties=False):
     g = msg[nbr_edge_ids]                            # [N, D, F]
     m = nbr_mask[..., None].astype(msg.dtype)
     g = g * m
@@ -82,7 +82,16 @@ def _forward_stats(msg, nbr_edge_ids, nbr_mask):
     mx = jnp.where(deg > 0, mx, 0.0)
     mn = jnp.where(m > 0, g, jnp.inf).min(axis=1)
     mn = jnp.where(deg > 0, mn, 0.0)
-    return s, sq, mx, mn, deg[:, 0], cnt[:, 0]
+    if not with_ties:
+        return s, sq, mx, mn, deg[:, 0], cnt[:, 0]
+    # tie counts for the max/min subgradient, computed here while the
+    # gathered [N, D, F] tensor is live — the backward then needs no
+    # re-gather of the neighbourhood tensor at all.
+    ties_mx = jnp.maximum(jnp.sum(((g == mx[:, None, :]) & (m > 0))
+                                  .astype(msg.dtype), axis=1), 1.0)
+    ties_mn = jnp.maximum(jnp.sum(((g == mn[:, None, :]) & (m > 0))
+                                  .astype(msg.dtype), axis=1), 1.0)
+    return s, sq, mx, mn, deg[:, 0], cnt[:, 0], ties_mx, ties_mn
 
 
 def _assemble(aggregators, scalers, s, sq, mx, mn, deg, cnt, avg_d):
@@ -100,7 +109,7 @@ def _assemble(aggregators, scalers, s, sq, mx, mn, deg, cnt, avg_d):
 
 def _node_partials(aggregators, scalers, avg_d, res, d_out):
     """Collapse d_out [N, S, A, F] into the four node-level gradient fields."""
-    (msg, nbr_edge_ids, nbr_mask, deg, cnt, mean, var_raw, std, mx, mn) = res
+    (msg, deg, cnt, mean, var_raw, std, mx, mn, ties_mx, ties_mn) = res
     E, F = msg.shape
     N = deg.shape[0]
 
@@ -136,16 +145,10 @@ def _node_partials(aggregators, scalers, avg_d, res, d_out):
         else:
             raise ValueError(a)
 
-    # split max/min gradient among ties (XLA max-reduce convention)
-    if ('max' in aggregators) or ('min' in aggregators):
-        gmsg = msg[nbr_edge_ids]                                  # [N, D, F]
-        m = nbr_mask[..., None]
-        if 'max' in aggregators:
-            is_max = (gmsg == mx[:, None, :]) & m
-            g_max = g_max / jnp.maximum(is_max.sum(axis=1), 1)
-        if 'min' in aggregators:
-            is_min = (gmsg == mn[:, None, :]) & m
-            g_min = g_min / jnp.maximum(is_min.sum(axis=1), 1)
+    # split max/min gradient among ties (XLA max-reduce convention);
+    # tie counts come from the forward residuals — no neighbourhood re-gather.
+    g_max = g_max / ties_mx
+    g_min = g_min / ties_mn
     return g_lin, g_quad, g_max, g_min
 
 
@@ -162,20 +165,26 @@ def make_fused_bank(receivers, edge_mask=None):
         return out
 
     def fwd(msg, nbr_edge_ids, nbr_mask, deg, aggregators, scalers, avg_d):
-        s, sq, mx, mn, _, cnt = _forward_stats(msg, nbr_edge_ids, nbr_mask)
+        s, sq, mx, mn, _, cnt, ties_mx, ties_mn = _forward_stats(
+            msg, nbr_edge_ids, nbr_mask, with_ties=True)
         out, (mean, var_raw, std) = _assemble(aggregators, scalers, s, sq, mx,
                                               mn, deg, cnt, avg_d)
-        return out, (msg, nbr_edge_ids, nbr_mask, deg, cnt, mean, var_raw,
-                     std, mx, mn)
+        return out, (msg, deg, cnt, mean, var_raw, std, mx, mn,
+                     ties_mx, ties_mn)
 
     def bwd(aggregators, scalers, avg_d, res, d_out):
         g_lin, g_quad, g_max, g_min = _node_partials(aggregators, scalers,
                                                      avg_d, res, d_out)
-        msg = res[0]
-        r = receivers
-        d_msg = (g_lin[r] + 2.0 * msg * g_quad[r]
-                 + (msg == res[8][r]).astype(msg.dtype) * g_max[r]
-                 + (msg == res[9][r]).astype(msg.dtype) * g_min[r])
+        msg, mx, mn = res[0], res[6], res[7]
+        F = msg.shape[-1]
+        # one wide gather instead of six per-field gathers — XLA's TPU gather
+        # cost is per-row, flat in row width, so stacking is a ~6x win.
+        fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],
+                                 axis=-1)                       # [N, 6F]
+        fe = fields[receivers]                                  # [E, 6F]
+        d_msg = (fe[:, :F] + 2.0 * msg * fe[:, F:2 * F]
+                 + (msg == fe[:, 4 * F:5 * F]).astype(msg.dtype) * fe[:, 2 * F:3 * F]
+                 + (msg == fe[:, 5 * F:]).astype(msg.dtype) * fe[:, 3 * F:4 * F])
         # padded edges are never referenced by nbr_edge_ids, so their grad
         # must be exactly zero (otherwise pretrans sees garbage-row grads).
         if edge_mask is not None:
@@ -184,3 +193,87 @@ def make_fused_bank(receivers, edge_mask=None):
 
     fused.defvjp(fwd, bwd)
     return fused
+
+
+def _assemble_raw(aggregators, s, sq, mx, mn, cnt):
+    mean = s / cnt[:, None]
+    var_raw = sq / cnt[:, None] - mean * mean
+    var = jax.nn.relu(var_raw)
+    std = jnp.sqrt(var + EPS)
+    table = {'mean': mean, 'sum': s, 'max': mx, 'min': mn, 'var': var,
+             'std': std}
+    agg = jnp.stack([table[a] for a in aggregators], axis=1)    # [N, A, F]
+    return agg, (mean, var_raw, std)
+
+
+def make_raw_bank(receivers, edge_mask=None):
+    """Scaler-free variant of :func:`make_fused_bank`: returns the raw
+    aggregator tensor Z [N, A, F] (aggregators in caller order, f32).
+
+    The degree scalers are per-node *scalars*, so the (scaler, aggregator)
+    cross-product never needs to be materialized: the consumer contracts Z
+    against its posttrans weights first and applies the S scaler weights to
+    the (much narrower) output — S x less HBM traffic through the widest
+    tensor of the layer.  Backward is the same scatter-free node-partials +
+    one wide gather as the full bank."""
+
+    @partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def raw(msg, nbr_edge_ids, nbr_mask, aggregators):
+        s, sq, mx, mn, _, cnt = _forward_stats(
+            msg.astype(jnp.float32), nbr_edge_ids, nbr_mask)
+        out, _ = _assemble_raw(aggregators, s, sq, mx, mn, cnt)
+        return out
+
+    def fwd(msg, nbr_edge_ids, nbr_mask, aggregators):
+        s, sq, mx, mn, _, cnt, ties_mx, ties_mn = _forward_stats(
+            msg.astype(jnp.float32), nbr_edge_ids, nbr_mask, with_ties=True)
+        out, (mean, var_raw, std) = _assemble_raw(aggregators, s, sq, mx, mn,
+                                                  cnt)
+        return out, (msg, cnt, mean, var_raw, std, mx, mn, ties_mx, ties_mn)
+
+    def bwd(aggregators, res, d_agg):
+        (msg, cnt, mean, var_raw, std, mx, mn, ties_mx, ties_mn) = res
+        msg32 = msg.astype(jnp.float32)
+        N, F = mean.shape
+
+        g_lin = jnp.zeros((N, F), jnp.float32)
+        g_quad = jnp.zeros((N, F), jnp.float32)
+        g_max = jnp.zeros((N, F), jnp.float32)
+        g_min = jnp.zeros((N, F), jnp.float32)
+        inv_cnt = (1.0 / cnt)[:, None]
+
+        for i, a in enumerate(aggregators):
+            d = d_agg[:, i, :].astype(jnp.float32)
+            if a == 'sum':
+                g_lin = g_lin + d
+            elif a == 'mean':
+                g_lin = g_lin + d * inv_cnt
+            elif a == 'max':
+                g_max = g_max + d
+            elif a == 'min':
+                g_min = g_min + d
+            elif a in ('var', 'std'):
+                if a == 'std':
+                    d = d * (0.5 / std)
+                d = d * (var_raw > 0).astype(jnp.float32)
+                g_quad = g_quad + d * inv_cnt
+                g_lin = g_lin - d * 2.0 * mean * inv_cnt
+            else:
+                raise ValueError(a)
+        g_max = g_max / ties_mx
+        g_min = g_min / ties_mn
+
+        fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],
+                                 axis=-1)                       # [N, 6F]
+        fe = fields[receivers]                                  # [E, 6F]
+        d_msg = (fe[:, :F] + 2.0 * msg32 * fe[:, F:2 * F]
+                 + (msg32 == fe[:, 4 * F:5 * F]).astype(jnp.float32)
+                 * fe[:, 2 * F:3 * F]
+                 + (msg32 == fe[:, 5 * F:]).astype(jnp.float32)
+                 * fe[:, 3 * F:4 * F])
+        if edge_mask is not None:
+            d_msg = jnp.where(edge_mask[:, None], d_msg, 0.0)
+        return d_msg.astype(msg.dtype), None, None
+
+    raw.defvjp(fwd, bwd)
+    return raw

@@ -1,25 +1,37 @@
 """Pallas TPU kernel: fused multi-aggregator segment reduction over a
-sorted edge list.
+receiver-sorted edge list.
 
-This is the hand-written version of the framework's core op (SURVEY §7.2
-phase 7): one pass over edges sorted by receiver producing the moment sketch
-{sum, sum-of-squares, max, min} per node — sum/sq ride the MXU via one-hot
-matmuls, max/min ride the VPU via masked reductions.  Mean/std/scalers are
-derived elementwise outside (XLA fuses those into the consumer).
+This is the hand-written core op of the framework (SURVEY §7.2 phase 7): one
+sequential sweep over the edge-message array produces the complete moment
+sketch per node — {sum, sum-of-squares, max, min} plus the max/min tie counts
+the custom VJP needs — with **zero gathers and zero scatters**.  It replaces
+the ELL formulation (gather [N, D_max, F] then masked reductions), whose
+gather materializes D_max/avg_deg x the message bytes through HBM and whose
+row-at-a-time addressing is the dominant cost of the XLA lowering.
 
-Design (TPU/Mosaic friendly):
-  * edges sorted by receiver => each node's edges are one contiguous range
-    [ptr[n], ptr[n+1]); the per-node (start, end) offsets are passed as small
-    SMEM blocks per node tile — no receiver-id DMA, and every mask is built
-    from scalars with ``broadcasted_iota`` in the orientation it is used
-    (no transposes, no 3-D vectors);
-  * grid = (node_tiles, feature_tiles); each program DMAs its chunk-aligned
-    edge window [TILE_E, TILE_F] from HBM and accumulates in registers;
-  * sum / sum-of-squares: one-hot [TILE_N, TILE_E] matmul on the MXU;
-  * max / min: per node row, a 2-D iota range mask + reduce on the VPU.
+Layout contract (provided by ``pna_tpu.graph.batch_graphs(sort_edges=True)``):
+edges are sorted by receiver, so node ``n`` owns the contiguous edge range
+``[ptr[n], ptr[n+1])`` — every memory access in the kernel is a sequential
+chunk DMA.
 
-The XLA/ELL paths remain the oracle (tests/test_pallas_kernel.py) and the
-fallback on non-TPU backends.
+Design (one program per (node-tile, feature-tile)):
+  * the per-node ranges arrive in SMEM (loop bounds) and VMEM in both row
+    [1, TILE_N] and column [TILE_N, 1] orientations, so every mask is built
+    by a broadcast compare against an iota in the orientation it is used —
+    no in-kernel transposes;
+  * phase 1 streams the node tile's chunk-aligned edge window: sum and
+    sum-of-squares ride the MXU as one-hot [TILE_N, TILE_E] matmuls; max and
+    min ride the VPU as a segmented Hillis–Steele scan over the edge sublanes
+    (log2 TILE_E steps of ``pltpu.roll`` + compare) followed by a one-hot
+    row-select matmul of each segment's last (= running) value;
+  * phase 2 re-streams the window and counts ties: node maxima are expanded
+    back to edges by the transposed one-hot matmul, compared, and the 0/1
+    mask reduced by the forward one-hot matmul.  Selections through one-hot
+    f32 matmuls are exact, so the sketch is bit-comparable to a sequential
+    implementation up to sum association.
+
+Oracle/fallback: the ELL and segment paths in ``pna_tpu.ops`` (tests compare
+against both); CPU tests run this kernel in interpreter mode.
 """
 
 from __future__ import annotations
@@ -34,10 +46,223 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 8      # nodes per program (sublane width)
+TILE_N = 128    # nodes per program
 TILE_E = 256    # edges per DMA chunk
 TILE_F = 128    # feature lanes
+NEG = -3.0e38   # finite -inf stand-in: one-hot matmuls of +-inf produce NaN
+_LOG2_TILE_E = 8
+assert (1 << _LOG2_TILE_E) == TILE_E
 
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _sketch_kernel(with_ties, scan_steps,
+                   lo_s, hi_s,            # SMEM  [1, TILE_N]
+                   lo_r, hi_r,            # VMEM  [1, TILE_N]
+                   lo_c, hi_c,            # VMEM  [TILE_N, 1]
+                   msg_hbm,               # ANY   [E_pad, F_pad]
+                   *refs):
+    if with_ties:
+        (s_ref, sq_ref, mx_ref, mn_ref, tmx_ref, tmn_ref,
+         msg_buf, sem) = refs
+    else:
+        s_ref, sq_ref, mx_ref, mn_ref, msg_buf, sem = refs
+    j = pl.program_id(1)
+
+    e_start = lo_s[0, 0, 0]
+    e_end = hi_s[0, 0, TILE_N - 1]
+    c0 = e_start // TILE_E
+    c1 = pl.cdiv(e_end, TILE_E)
+
+    lo_col = lo_c[0]                       # [TILE_N, 1] int32
+    hi_col = hi_c[0]
+    lo_row = lo_r[0]                       # [1, TILE_N] int32
+    hi_row = hi_r[0]
+    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_E), 1)
+    sub_e = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, 1), 0)
+    subrow = sub_e                          # row index within chunk
+
+    def dma_chunk(c):
+        e0 = pl.multiple_of(c * TILE_E, TILE_E)
+        cp = pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)],
+            msg_buf, sem)
+        cp.start()
+        cp.wait()
+        return e0
+
+    def phase1(c, accs):
+        s_acc, sq_acc, mx_acc, mn_acc = accs
+        e0 = dma_chunk(c)
+        m = msg_buf[:]                                    # [TILE_E, TILE_F]
+        abs_e = lane_e + e0                               # [1, TILE_E]
+
+        onehot = ((abs_e >= lo_col) & (abs_e < hi_col)).astype(jnp.float32)
+        s_acc = s_acc + jnp.dot(onehot, m,
+                                preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        sq_acc = sq_acc + jnp.dot(onehot, m * m,
+                                  preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+
+        # segmented max/min scan over the chunk's sublanes.  Segment ids per
+        # edge row: count of segment starts at or before the edge (column
+        # orientation, [TILE_E, TILE_N] compare against a ones matmul).
+        abs_e_col = sub_e + e0                            # [TILE_E, 1]
+        started = ((abs_e_col >= lo_row) & (lo_row < hi_row)) \
+            .astype(jnp.float32)                          # [TILE_E, TILE_N]
+        seg = jnp.sum(started, axis=1, keepdims=True)     # [TILE_E, 1]
+        within = (abs_e_col >= e_start) & (abs_e_col < e_end)  # [TILE_E, 1]
+
+        x_mx = jnp.where(within, m, NEG)
+        x_mn = jnp.where(within, m, -NEG)
+        for k in range(scan_steps):
+            sh = 1 << k
+            ok = (subrow >= sh) & (pltpu.roll(seg, sh, 0) == seg)
+            x_mx = jnp.maximum(x_mx, jnp.where(ok, pltpu.roll(x_mx, sh, 0),
+                                               NEG))
+            x_mn = jnp.minimum(x_mn, jnp.where(ok, pltpu.roll(x_mn, sh, 0),
+                                               -NEG))
+
+        # per node: running value at its last edge row inside this chunk
+        last = jnp.minimum(hi_col, e0 + TILE_E) - 1 - e0  # [TILE_N, 1]
+        has = ((jnp.minimum(hi_col, e0 + TILE_E)
+                > jnp.maximum(lo_col, e0)) & (lo_col < hi_col))
+        sel = ((lane_e == last) & has).astype(jnp.float32)  # [TILE_N, TILE_E]
+        part_mx = jnp.dot(sel, x_mx, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        part_mn = jnp.dot(sel, x_mn, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        mx_acc = jnp.maximum(mx_acc, jnp.where(has, part_mx, NEG))
+        mn_acc = jnp.minimum(mn_acc, jnp.where(has, part_mn, -NEG))
+        return s_acc, sq_acc, mx_acc, mn_acc
+
+    zeros = jnp.zeros((TILE_N, TILE_F), jnp.float32)
+    s_acc, sq_acc, mx_acc, mn_acc = jax.lax.fori_loop(
+        c0, c1, phase1, (zeros, zeros, jnp.full_like(zeros, NEG),
+                         jnp.full_like(zeros, -NEG)))
+
+    s_ref[:] = s_acc
+    sq_ref[:] = sq_acc
+    empty_mx = mx_acc <= NEG * 0.5
+    empty_mn = mn_acc >= -NEG * 0.5
+    mx_ref[:] = jnp.where(empty_mx, 0.0, mx_acc)
+    mn_ref[:] = jnp.where(empty_mn, 0.0, mn_acc)
+
+    if not with_ties:
+        return
+
+    def phase2(c, accs):
+        tmx_acc, tmn_acc = accs
+        e0 = dma_chunk(c)
+        m = msg_buf[:]
+        abs_e = lane_e + e0
+        abs_e_col = sub_e + e0
+        onehot = ((abs_e >= lo_col) & (abs_e < hi_col)).astype(jnp.float32)
+        onehot_t = ((abs_e_col >= lo_row)
+                    & (abs_e_col < hi_row)).astype(jnp.float32)
+        # expand node maxima back to edges (exact one-hot selection)
+        ex_mx = jnp.dot(onehot_t, mx_acc, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        ex_mn = jnp.dot(onehot_t, mn_acc, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        within = (abs_e_col >= e_start) & (abs_e_col < e_end)
+        eq_mx = ((m == ex_mx) & within).astype(jnp.float32)
+        eq_mn = ((m == ex_mn) & within).astype(jnp.float32)
+        tmx_acc = tmx_acc + jnp.dot(onehot, eq_mx,
+                                    preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        tmn_acc = tmn_acc + jnp.dot(onehot, eq_mn,
+                                    preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
+        return tmx_acc, tmn_acc
+
+    tmx_acc, tmn_acc = jax.lax.fori_loop(c0, c1, phase2, (zeros, zeros))
+    tmx_ref[:] = jnp.maximum(tmx_acc, 1.0)
+    tmn_ref[:] = jnp.maximum(tmn_acc, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=('with_ties', 'max_degree', 'interpret'))
+def sorted_moment_sketch(msg: jnp.ndarray, edge_ptr: jnp.ndarray,
+                         with_ties: bool = False,
+                         max_degree: int = 0,
+                         interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
+    """Fused moment sketch over a receiver-sorted edge message array.
+
+    msg        [E, F]    edge messages, sorted by receiver
+    edge_ptr   [N + 1]   CSR row pointers (node n owns [ptr[n], ptr[n+1]))
+    max_degree           static upper bound on the in-degree (0 = unknown);
+                         caps the segmented-scan depth at ceil(log2(deg))
+
+    Returns (sum, sumsq, max, min) each [N, F] f32 — plus (ties_max,
+    ties_min) when ``with_ties`` — with empty segments mapping to 0 for
+    max/min (pna_tpu.ops.segment semantics) and tie counts clamped to >= 1.
+    """
+    E, F = msg.shape
+    N = edge_ptr.shape[0] - 1
+    n_tiles = -(-N // TILE_N)
+    n_pad = n_tiles * TILE_N
+    f_tiles = -(-F // TILE_F)
+    f_pad = f_tiles * TILE_F
+    e_pad = max(_round_up(E, TILE_E), TILE_E)
+    if F != f_pad or E != e_pad:
+        msg = jnp.pad(msg, ((0, e_pad - E), (0, f_pad - F)))
+
+    lo = edge_ptr[:-1]
+    hi = edge_ptr[1:]
+    if n_pad != N:
+        tail = jnp.full((n_pad - N,), edge_ptr[-1], jnp.int32)
+        lo = jnp.concatenate([lo, tail])
+        hi = jnp.concatenate([hi, tail])
+    lo_rows = lo.reshape(n_tiles, 1, TILE_N)
+    hi_rows = hi.reshape(n_tiles, 1, TILE_N)
+    lo_cols = lo.reshape(n_tiles, TILE_N, 1)
+    hi_cols = hi.reshape(n_tiles, TILE_N, 1)
+
+    n_out = 6 if with_ties else 4
+    out_shape = [jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32)
+                 for _ in range(n_out)]
+    row_spec = pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, TILE_N, 1), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scan_steps = _LOG2_TILE_E
+    if max_degree and max_degree < TILE_E:
+        scan_steps = max(1, int(np.ceil(np.log2(max(max_degree, 2)))))
+    outs = pl.pallas_call(
+        functools.partial(_sketch_kernel, with_ties, scan_steps),
+        grid=(n_tiles, f_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec, row_spec, col_spec, col_spec,
+            pl.BlockSpec(memory_space=pl.ANY),   # msg stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, TILE_F), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_out)
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TILE_E, TILE_F), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(lo_rows, hi_rows, lo_rows, hi_rows, lo_cols, hi_cols, msg)
+
+    if n_pad != N or f_pad != F:
+        outs = tuple(o[:N, :F] for o in outs)
+    return tuple(outs)
+
+
+# ------------------------------------------------------------------
+# host-side helper kept for building per-tile ranges in tests/tools
+# ------------------------------------------------------------------
 
 def build_node_ranges(receivers_sorted: np.ndarray, num_nodes: int,
                       tile_n: int = TILE_N
@@ -52,114 +277,3 @@ def build_node_ranges(receivers_sorted: np.ndarray, num_nodes: int,
     lo = ptr[:-1].reshape(num_tiles, tile_n).astype(np.int32)
     hi = ptr[1:].reshape(num_tiles, tile_n).astype(np.int32)
     return lo, hi
-
-
-def _sketch_kernel(lo_ref, hi_ref,        # SMEM [1, TILE_N]
-                   msg_hbm,               # HBM [E_pad, F_pad]
-                   sum_ref, sq_ref, max_ref, min_ref,   # out [TILE_N, TILE_F]
-                   msg_buf, sem_m):       # scratch
-    j = pl.program_id(1)
-    e_start = lo_ref[0, 0, 0]
-    e_end = hi_ref[0, 0, TILE_N - 1]
-    c_start = e_start // TILE_E
-    c_end = pl.cdiv(e_end, TILE_E)
-
-    sum_acc = jnp.zeros((TILE_N, TILE_F), jnp.float32)
-    sq_acc = jnp.zeros((TILE_N, TILE_F), jnp.float32)
-    max_acc = jnp.full((TILE_N, TILE_F), -jnp.inf, jnp.float32)
-    min_acc = jnp.full((TILE_N, TILE_F), jnp.inf, jnp.float32)
-
-    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_E), 1)
-    sub_e = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, TILE_F), 0)
-
-    def body(c, accs):
-        sum_acc, sq_acc, max_acc, min_acc = accs
-        e0 = pl.multiple_of(c * TILE_E, TILE_E)
-        dma_m = pltpu.make_async_copy(
-            msg_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)],
-            msg_buf, sem_m)
-        dma_m.start()
-        dma_m.wait()
-        m = msg_buf[:]                                    # [TILE_E, TILE_F]
-
-        # one-hot rows from per-node scalar ranges (relative to e0)
-        rows = []
-        for n in range(TILE_N):
-            lo_n = lo_ref[0, 0, n] - e0
-            hi_n = hi_ref[0, 0, n] - e0
-            cond = (lane_e >= lo_n) & (lane_e < hi_n)         # [1, TILE_E]
-            rows.append(jnp.where(cond, 1.0, 0.0))
-        onehot = jnp.concatenate(rows, axis=0)                # [TN, TE] f32
-
-        sum_acc = sum_acc + jnp.dot(onehot, m,
-                                    preferred_element_type=jnp.float32)
-        sq_acc = sq_acc + jnp.dot(onehot, m * m,
-                                  preferred_element_type=jnp.float32)
-
-        # max/min per node row: 2-D sublane-range mask, reduce over edges
-        new_max = []
-        new_min = []
-        for n in range(TILE_N):
-            lo_n = lo_ref[0, 0, n] - e0
-            hi_n = hi_ref[0, 0, n] - e0
-            mask = (sub_e >= lo_n) & (sub_e < hi_n)           # [TILE_E, TILE_F]
-            new_max.append(jnp.max(jnp.where(mask, m, -jnp.inf), axis=0,
-                                   keepdims=True))
-            new_min.append(jnp.min(jnp.where(mask, m, jnp.inf), axis=0,
-                                   keepdims=True))
-        max_acc = jnp.maximum(max_acc, jnp.concatenate(new_max, axis=0))
-        min_acc = jnp.minimum(min_acc, jnp.concatenate(new_min, axis=0))
-        return sum_acc, sq_acc, max_acc, min_acc
-
-    sum_acc, sq_acc, max_acc, min_acc = jax.lax.fori_loop(
-        c_start, c_end, body, (sum_acc, sq_acc, max_acc, min_acc))
-
-    sum_ref[:] = sum_acc
-    sq_ref[:] = sq_acc
-    # empty segments -> 0 (matches pna_tpu.ops.segment semantics)
-    max_ref[:] = jnp.where(jnp.isfinite(max_acc), max_acc, 0.0)
-    min_ref[:] = jnp.where(jnp.isfinite(min_acc), min_acc, 0.0)
-
-
-def sorted_moment_sketch(msg: jnp.ndarray, node_lo: jnp.ndarray,
-                         node_hi: jnp.ndarray,
-                         interpret: bool = False
-                         ) -> Tuple[jnp.ndarray, ...]:
-    """msg [E, F] (edges sorted by receiver) + per-node ranges
-    (build_node_ranges) -> (sum, sumsq, max, min), each [N_pad, F_pad]."""
-    E, F = msg.shape
-    num_tiles = node_lo.shape[0]
-    n_pad = num_tiles * TILE_N
-    f_tiles = -(-F // TILE_F)
-    f_pad = f_tiles * TILE_F
-    if F != f_pad:
-        msg = jnp.pad(msg, ((0, 0), (0, f_pad - F)))
-    e_pad = max(-(-E // TILE_E) * TILE_E, TILE_E)
-    if e_pad != E:
-        msg = jnp.pad(msg, ((0, e_pad - E), (0, 0)))
-
-    out_shape = [jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32)
-                 for _ in range(4)]
-    s, sq, mx, mn = pl.pallas_call(
-        _sketch_kernel,
-        grid=(num_tiles, f_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),   # msg stays in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_N, TILE_F), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ],
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((TILE_E, TILE_F), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(node_lo[:, None, :], node_hi[:, None, :], msg)
-    return s, sq, mx, mn

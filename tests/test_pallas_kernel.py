@@ -8,36 +8,60 @@ import jax
 import jax.numpy as jnp
 
 from pna_tpu.ops import segment as seg
-from pna_tpu.ops.pallas_kernels import (TILE_N, build_node_ranges,
-                                        sorted_moment_sketch)
+from pna_tpu.ops.pallas_kernels import sorted_moment_sketch
 
 
-@pytest.mark.parametrize("seed,num_nodes,num_edges,F", [
-    (0, 24, 300, 16),
-    (1, 40, 700, 130),   # F > TILE_F exercises feature tiling
-    (2, 16, 5, 8),       # many empty nodes
+def _csr(recv, num_nodes):
+    ptr = np.zeros(num_nodes + 1, np.int32)
+    ptr[1:] = np.searchsorted(recv, np.arange(1, num_nodes + 1), side='left')
+    return ptr
+
+
+@pytest.mark.parametrize("seed,num_nodes,num_edges,F,max_deg", [
+    (0, 24, 300, 16, 0),
+    (1, 40, 700, 130, 0),   # F > TILE_F exercises feature tiling
+    (2, 16, 5, 8, 0),       # many empty nodes
+    (3, 200, 420, 16, 8),   # capped scan depth (bounded-degree graphs)
 ])
-def test_sorted_sketch_matches_segment(seed, num_nodes, num_edges, F):
+def test_sorted_sketch_matches_segment(seed, num_nodes, num_edges, F,
+                                       max_deg):
     rng = np.random.RandomState(seed)
-    recv = np.sort(rng.randint(0, num_nodes, num_edges)).astype(np.int32)
+    if max_deg:
+        deg = rng.randint(0, max_deg + 1, num_nodes)
+        recv = np.repeat(np.arange(num_nodes), deg).astype(np.int32)
+        num_edges = len(recv)
+    else:
+        recv = np.sort(rng.randint(0, num_nodes, num_edges)).astype(np.int32)
     msg = rng.randn(num_edges, F).astype(np.float32)
+    msg[1] = msg[0]   # tie material
 
-    lo, hi = build_node_ranges(recv, num_nodes)
-    s, sq, mx, mn = sorted_moment_sketch(
-        jnp.asarray(msg), jnp.asarray(lo), jnp.asarray(hi), interpret=True)
+    ptr = _csr(recv, num_nodes)
+    s, sq, mx, mn, tmx, tmn = sorted_moment_sketch(
+        jnp.asarray(msg), jnp.asarray(ptr), with_ties=True,
+        max_degree=max_deg, interpret=True)
 
-    n_pad = lo.shape[0] * TILE_N
     recv_j = jnp.asarray(recv)
-    ref_s = seg.segment_sum(jnp.asarray(msg), recv_j, n_pad)
-    ref_sq = seg.segment_sum(jnp.asarray(msg) ** 2, recv_j, n_pad)
-    ref_mx = seg.segment_max(jnp.asarray(msg), recv_j, n_pad)
-    ref_mn = seg.segment_min(jnp.asarray(msg), recv_j, n_pad)
+    ref_s = seg.segment_sum(jnp.asarray(msg), recv_j, num_nodes)
+    ref_sq = seg.segment_sum(jnp.asarray(msg) ** 2, recv_j, num_nodes)
+    ref_mx = seg.segment_max(jnp.asarray(msg), recv_j, num_nodes)
+    ref_mn = seg.segment_min(jnp.asarray(msg), recv_j, num_nodes)
 
-    np.testing.assert_allclose(np.asarray(s)[:, :F], np.asarray(ref_s),
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sq)[:, :F], np.asarray(ref_sq),
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(ref_sq),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(mx)[:, :F], np.asarray(ref_mx),
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(ref_mx),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(mn)[:, :F], np.asarray(ref_mn),
+    np.testing.assert_allclose(np.asarray(mn), np.asarray(ref_mn),
                                rtol=1e-5, atol=1e-5)
+
+    # tie counts vs numpy
+    ref_tmx = np.ones((num_nodes, F), np.float32)
+    ref_tmn = np.ones((num_nodes, F), np.float32)
+    for n in range(num_nodes):
+        part = msg[ptr[n]:ptr[n + 1]]
+        if len(part):
+            ref_tmx[n] = (part == part.max(0)).sum(0)
+            ref_tmn[n] = (part == part.min(0)).sum(0)
+    np.testing.assert_allclose(np.asarray(tmx), ref_tmx, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tmn), ref_tmn, atol=1e-6)
