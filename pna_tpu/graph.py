@@ -76,6 +76,9 @@ class Graph:
     # pytree structure), so shapes stay XLA-static.
     bucket_spec: Optional[Tuple[Tuple[int, int], ...]] = struct.field(
         pytree_node=False, default=None)        # ((degree, capacity), ...)
+    # true in-degree per node (bucket classes may hold nodes whose real
+    # degree is below the class width; dummy slots are 0)
+    in_deg: Optional[jnp.ndarray] = None        # [N_pad] float32
 
     @property
     def n_node_pad(self) -> int:
@@ -114,9 +117,47 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _choose_classes(counts: dict, max_buckets: int) -> dict:
+    """Map each distinct in-degree to a class width >= it, using at most
+    ``max_buckets`` classes, minimizing the number of dummy edge slots
+    (sum over nodes of class(d) - d).  Small DP over contiguous groups."""
+    degs = sorted(d for d in counts if d > 0)
+    if not degs or len(degs) <= max_buckets:
+        return {d: d for d in degs}
+    m = len(degs)
+    cnts = [counts[d] for d in degs]
+    INF = float('inf')
+    # cost of grouping degs[i..j] into one class of width degs[j]
+    cost = [[0] * m for _ in range(m)]
+    for i in range(m):
+        acc = 0
+        for j in range(i, m):
+            acc = sum(cnts[k] * (degs[j] - degs[k]) for k in range(i, j + 1))
+            cost[i][j] = acc
+    best = [[INF] * (max_buckets + 1) for _ in range(m + 1)]
+    arg = [[-1] * (max_buckets + 1) for _ in range(m + 1)]
+    best[0][0] = 0
+    for j in range(1, m + 1):
+        for k in range(1, max_buckets + 1):
+            for i in range(j):
+                c = best[i][k - 1] + cost[i][j - 1]
+                if c < best[j][k]:
+                    best[j][k] = c
+                    arg[j][k] = i
+    k = min(range(1, max_buckets + 1), key=lambda kk: best[m][kk])
+    mapping = {}
+    j = m
+    while j > 0:
+        i = arg[j][k]
+        for t in range(i, j):
+            mapping[degs[t]] = degs[j - 1]
+        j, k = i, k - 1
+    return mapping
+
+
 def _bucketize(node_feats, senders, receivers, node_graph_ids, node_mask,
                edge_mask, edge_feats, snorm_n, snorm_e, n_graph_pad,
-               bucket_caps=None):
+               bucket_caps=None, max_buckets=4):
     """Reorder a padded batch into the degree-bucketed static layout.
 
     Nodes are grouped by in-degree (bucket d holds ``cap_d`` node slots, real
@@ -135,17 +176,44 @@ def _bucketize(node_feats, senders, receivers, node_graph_ids, node_mask,
     counts = {}
     for d in deg[real]:
         counts[int(d)] = counts.get(int(d), 0) + 1
+    # merge degrees into at most ``max_buckets`` classes (fewer buckets =
+    # fewer XLA ops; the dummy-slot waste is DP-minimized).  With explicit
+    # ``bucket_caps``, its keys define the classes instead.
     if bucket_caps is None:
-        caps = dict(counts)
+        cls_of = _choose_classes(counts, max_buckets)
+        cls_of[0] = 0
+        ccounts = {}
+        for d, c in counts.items():
+            D = cls_of[d]
+            ccounts[D] = ccounts.get(D, 0) + c
+        caps = dict(ccounts)
         caps[0] = caps.get(0, 0) + max(int((~node_mask).sum()), 1)
     else:
         caps = {int(d): int(c) for d, c in dict(bucket_caps).items()}
+        cls_of = {}
+        for d in list(counts) + [0]:
+            D = min((D for D in caps if D >= d), default=None)
+            if D is None:
+                raise ValueError(f"no bucket class >= degree {d} in caps")
+            cls_of[d] = D
+        ccounts = {}
         for d, c in counts.items():
-            if caps.get(d, 0) < c:
+            D = cls_of[d]
+            ccounts[D] = ccounts.get(D, 0) + c
+        for D, c in ccounts.items():
+            if caps.get(D, 0) < c:
                 raise ValueError(
-                    f"bucket_caps[{d}]={caps.get(d, 0)} < {c} nodes in batch")
+                    f"bucket_caps[{D}]={caps.get(D, 0)} < {c} nodes in batch")
+    # capacities to multiples of 8 so every bucket's node range AND edge
+    # range (cap * d) starts on a sublane-tile boundary — unaligned slices
+    # force XLA to insert layout copies on every per-bucket view
+    caps = {d: _round_up(c, 8) for d, c in caps.items()}
     spec = tuple(sorted((int(d), int(c)) for d, c in caps.items()))
     max_d = max(d for d, _ in spec)
+    max_deg_obs = int(deg.max()) if len(deg) else 0
+    cls_arr = np.zeros(max(max_d, max_deg_obs) + 1, np.int64)
+    for d, D in cls_of.items():
+        cls_arr[d] = D
     node_off_arr = np.full(max_d + 1, -1, np.int64)
     edge_off_arr = np.full(max_d + 1, -1, np.int64)
     n_off = e_off = 0
@@ -159,18 +227,20 @@ def _bucketize(node_feats, senders, receivers, node_graph_ids, node_mask,
     new_of_old = np.full(N, -1, np.int64)
     fill = {d: 0 for d, _ in spec}
     for old in real:      # stable within bucket: original order preserved
-        d = int(deg[old])
-        new_of_old[old] = node_off_arr[d] + fill[d]
-        fill[d] += 1
+        D = int(cls_arr[deg[old]])
+        new_of_old[old] = node_off_arr[D] + fill[D]
+        fill[D] += 1
 
     nf = np.zeros((N_new,) + node_feats.shape[1:], node_feats.dtype)
     ngi = np.full(N_new, n_graph_pad - 1, np.int32)
     nm = np.zeros(N_new, bool)
+    in_deg = np.zeros(N_new, np.float32)
     sn = np.ones((N_new, 1), np.float32) if snorm_n is not None else None
     dst = new_of_old[real]
     nf[dst] = node_feats[real]
     ngi[dst] = node_graph_ids[real]
     nm[dst] = True
+    in_deg[dst] = deg[real]
     if sn is not None:
         sn[dst] = snorm_n[real]
 
@@ -194,11 +264,11 @@ def _bucketize(node_feats, senders, receivers, node_graph_ids, node_mask,
         order = np.argsort(r_new, kind='stable')
         sorted_e = reals_e[order]
         sorted_r = r_new[order]
-        sorted_d = deg[receivers[sorted_e]]
+        sorted_D = cls_arr[deg[receivers[sorted_e]]]
         slot = (np.arange(len(sorted_e))
                 - np.searchsorted(sorted_r, sorted_r, side='left'))
-        pos = (edge_off_arr[sorted_d]
-               + (sorted_r - node_off_arr[sorted_d]) * sorted_d + slot)
+        pos = (edge_off_arr[sorted_D]
+               + (sorted_r - node_off_arr[sorted_D]) * sorted_D + slot)
         sends_new[pos] = new_of_old[senders[sorted_e]]
         recvs_new[pos] = sorted_r
         em[pos] = True
@@ -207,7 +277,7 @@ def _bucketize(node_feats, senders, receivers, node_graph_ids, node_mask,
         if se is not None:
             se[pos] = snorm_e[sorted_e]
 
-    return (nf, sends_new, recvs_new, ngi, nm, em, ef, sn, se, spec)
+    return (nf, sends_new, recvs_new, ngi, nm, em, ef, sn, se, spec, in_deg)
 
 
 def build_graph(
@@ -270,6 +340,7 @@ def batch_graphs(
     sort_edges: bool = True,
     bucket_by_degree: bool = False,
     bucket_caps: Optional[dict] = None,
+    bucket_max_buckets: int = 4,
 ) -> Graph:
     """Static-shape batcher replacing ``dgl.batch``.
 
@@ -340,13 +411,14 @@ def batch_graphs(
         n_off += n
         e_off += e
 
-    bucket_spec = None
+    bucket_spec = in_deg = None
     if bucket_by_degree:
         (node_feats, senders, receivers, node_graph_ids, node_mask,
-         edge_mask, edge_feats, snorm_n, snorm_e, bucket_spec) = _bucketize(
+         edge_mask, edge_feats, snorm_n, snorm_e, bucket_spec,
+         in_deg) = _bucketize(
             node_feats, senders, receivers, node_graph_ids, node_mask,
             edge_mask, edge_feats, snorm_n, snorm_e, n_graph_pad,
-            bucket_caps=bucket_caps)
+            bucket_caps=bucket_caps, max_buckets=bucket_max_buckets)
         n_node_pad = node_feats.shape[0]
         n_edge_pad = senders.shape[0]
         sort_edges = False   # bucket order, not global receiver order
@@ -389,6 +461,7 @@ def batch_graphs(
         nbr_mask=None if nbr_mask is None else jnp.asarray(nbr_mask),
         edge_ptr=None if edge_ptr is None else jnp.asarray(edge_ptr),
         bucket_spec=bucket_spec,
+        in_deg=None if in_deg is None else jnp.asarray(in_deg),
     )
 
 

@@ -136,13 +136,28 @@ class PNALayerFused(nn.Module):
         pre_ks, pre_bs = StackedParams(pre_dims, T, name='pretrans')()
         post_ks, post_bs = StackedParams(post_dims, T, name='posttrans')()
 
-        def ein(x, k):  # per-tower contraction, f32 accumulation
-            return jnp.einsum('etf,tfo->eto', x.astype(cdt), k.astype(cdt),
-                              preferred_element_type=jnp.float32)
+        # All per-tower contractions are emitted as ONE plain matmul with a
+        # block-structured weight built on the (tiny) weight side — XLA
+        # lowers batched/multi-axis einsums on these shapes as convolutions
+        # with poor MXU tiling; a single [rows, cols] dot is ~5-20x faster
+        # here even though the block-diagonal zeros cost T x the FLOPs.
+        def ein(x, k):  # x [.., T, fi], k [T, fi, fo] -> [.., T, fo]
+            T_, fi, fo = k.shape
+            eye = jnp.eye(T_, dtype=cdt)
+            kb = jnp.einsum('tio,ts->tiso', k.astype(cdt), eye)
+            kb = kb.reshape(T_ * fi, T_ * fo)
+            lead = x.shape[:-2]
+            y = jnp.einsum('...k,ko->...o', x.reshape(lead + (T_ * fi,))
+                           .astype(cdt), kb,
+                           preferred_element_type=jnp.float32)
+            return y.reshape(lead + (T_, fo))
 
         def ein_shared(x, k):  # input shared across towers
-            return jnp.einsum('ef,tfo->eto', x.astype(cdt), k.astype(cdt),
-                              preferred_element_type=jnp.float32)
+            T_, fi, fo = k.shape
+            kb = jnp.transpose(k.astype(cdt), (1, 0, 2)).reshape(fi, T_ * fo)
+            y = jnp.einsum('...k,ko->...o', x.astype(cdt), kb,
+                           preferred_element_type=jnp.float32)
+            return y.reshape(x.shape[:-1] + (T_, fo))
 
         # ---- pretrans: split-kernel first layer, no concat materialized ----
         from pna_tpu.ops import bucketed
@@ -177,11 +192,17 @@ class PNALayerFused(nn.Module):
                     and fused_vjp.supports(self.aggregators, self.scalers))
         if bucket_fast or ell_fast:
             if bucket_fast:
-                # dense per-bucket reductions: no gather/scatter at all
+                # dense per-bucket reductions: no gather/scatter at all.
+                # (bucketed.fused_raw_bank — variadic reduce + custom VJP —
+                # measured *slower* than XLA autodiff of these dense
+                # reductions on v5e: 27.6ms vs 25.6ms per ZINC-1024 step,
+                # so the plain bank stays the default.)
                 Z = bucketed.raw_bank(msg.reshape(E, T * Ft),
                                       graph.bucket_spec,
-                                      tuple(self.aggregators))  # [N, A, T*Ft]
-                deg = jnp.asarray(bucketed.degrees(graph.bucket_spec))
+                                      tuple(self.aggregators),
+                                      in_deg=graph.in_deg)      # [N, A, T*Ft]
+                deg = (graph.in_deg if graph.in_deg is not None
+                       else jnp.asarray(bucketed.degrees(graph.bucket_spec)))
             else:
                 bank = fused_vjp.make_raw_bank(graph.receivers,
                                                graph.edge_mask)
@@ -198,15 +219,19 @@ class PNALayerFused(nn.Module):
             k_h = kp[:, :Ft]                                   # [T, Ft, Fo]
             k_agg = kp[:, Ft:].reshape(T, S, A, Ft, post_dims[1])
             if self.divide_input:
-                out = jnp.einsum('ntf,tfo->nto', hb.reshape(N, T, Ft)
-                                 .astype(cdt), k_h.astype(cdt),
-                                 preferred_element_type=jnp.float32)
+                out = ein(hb.reshape(N, T, Ft), k_h)
             else:
                 out = ein_shared(hb, k_h)
-            # Z . K first (no scaler axis in the data), scalers on the output
-            y = jnp.einsum('natf,tsafo->ntos', Z.reshape(N, A, T, Ft)
-                           .astype(cdt), k_agg.astype(cdt),
-                           preferred_element_type=jnp.float32)  # [N,T,O,S]
+            # Z . K first (no scaler axis in the data), scalers on the
+            # output: one [N, A*T*Ft] x [A*T*Ft, T*O*S] matmul whose weight
+            # matches Z's natural (a, t, f) layout (t block-matched)
+            Fo1 = post_dims[1]
+            eye = jnp.eye(T, dtype=cdt)
+            W = jnp.einsum('tsafo,tu->atfuos', k_agg.astype(cdt), eye)
+            W = W.reshape(A * T * Ft, T * Fo1 * S)
+            y = jnp.einsum('nk,ko->no', Z.reshape(N, A * T * Ft).astype(cdt),
+                           W, preferred_element_type=jnp.float32)
+            y = y.reshape(N, T, Fo1, S)                         # [N,T,O,S]
             out = out + jnp.einsum('ntos,sn->nto', y,
                                    w.astype(jnp.float32)) + bp
         else:

@@ -21,6 +21,7 @@ are discarded downstream, so no masks appear in the compute at all.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -28,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 EPS = 1e-5
+BIG = 3.0e38          # finite +-inf stand-in (reduce identities)
+
+# aggregators the fused custom-VJP bank covers (benchmark configs)
+FUSED = ('mean', 'sum', 'max', 'min', 'var', 'std')
 
 # aggregators computable per dense [c, d, F] bucket view
 SUPPORTED = ('mean', 'sum', 'max', 'min', 'var', 'std',
@@ -75,53 +80,76 @@ def reduce_from_edges(y: jnp.ndarray, spec: Tuple[Tuple[int, int], ...],
 
 
 def raw_bank(msg: jnp.ndarray, spec: Tuple[Tuple[int, int], ...],
-             aggregators: Sequence[str]) -> jnp.ndarray:
+             aggregators: Sequence[str],
+             in_deg: jnp.ndarray = None) -> jnp.ndarray:
     """Aggregator bank over bucketed edge messages -> Z [N, A, F] (f32).
 
-    Matches the reference formulas exactly: EPS inside the std sqrt
-    (models/pytorch/pna/aggregators.py:57), var relu clamp (:72), moment_n
-    root with EPS (:96-147), softmax/softmin weighting (:107-127); empty
-    neighbourhoods (d = 0) produce 0.
+    ``in_deg`` [N] gives the true in-degree when bucket classes are wider
+    than a node's degree (dummy slots are masked via an iota compare — no
+    mask tensor in memory).  Matches the reference formulas exactly: EPS
+    inside the std sqrt (models/pytorch/pna/aggregators.py:57), var relu
+    clamp (:72), moment_n root with EPS (:96-147), softmax/softmin weighting
+    (:107-127); empty neighbourhoods (degree 0) produce 0.
     """
     F = msg.shape[-1]
     out = []
-    eoff = 0
+    eoff = noff = 0
     for d, c in spec:
         if d == 0:
             out.append(jnp.zeros((c, len(aggregators), F), jnp.float32))
+            noff += c
             continue
         seg = msg[eoff:eoff + c * d].reshape(c, d, F).astype(jnp.float32)
         eoff += c * d
+        if in_deg is None:
+            cnt = jnp.full((c, 1), float(d), jnp.float32)
+            m = None
+        else:
+            cnt = in_deg[noff:noff + c].astype(jnp.float32)[:, None]  # [c,1]
+            m = (jax.lax.broadcasted_iota(jnp.float32, (1, d, 1), 1)
+                 < cnt[:, :, None])                                # [c,d,1]
+        noff += c
+        cnt1 = jnp.maximum(cnt, 1.0)
+        nonempty = cnt > 0
         stats: Dict[str, jnp.ndarray] = {}
+
+        def masked(x, fill=0.0):
+            return x if m is None else jnp.where(m, x, fill)
 
         def get(name):
             if name in stats:
                 return stats[name]
             if name == 'sum':
-                v = jnp.sum(seg, axis=1)
+                v = jnp.sum(masked(seg), axis=1)
             elif name == 'mean':
-                v = get('sum') / d
+                v = get('sum') / cnt1
             elif name == 'max':
-                v = jnp.max(seg, axis=1)
+                v = jnp.max(masked(seg, -jnp.inf), axis=1)
+                v = jnp.where(nonempty, v, 0.0)
             elif name == 'min':
-                v = jnp.min(seg, axis=1)
+                v = jnp.min(masked(seg, jnp.inf), axis=1)
+                v = jnp.where(nonempty, v, 0.0)
             elif name == 'var':
-                v = jax.nn.relu(jnp.sum(seg * seg, axis=1) / d
+                v = jax.nn.relu(jnp.sum(masked(seg * seg), axis=1) / cnt1
                                 - get('mean') ** 2)
             elif name == 'std':
                 v = jnp.sqrt(get('var') + EPS)
             elif name.startswith('moment'):
                 n = int(name[len('moment'):])
-                ctr = seg - get('mean')[:, None]
-                mom = jnp.sum(ctr ** n, axis=1) / d
+                ctr = masked(seg - get('mean')[:, None])
+                mom = jnp.sum(ctr ** n, axis=1) / cnt1
                 # n-th root preserving sign, EPS inside the root
                 # (models/pytorch/pna/aggregators.py:96-147)
                 v = (jnp.sign(mom)
                      * jnp.power(jnp.abs(mom) + EPS, 1.0 / n))
             elif name in ('softmax', 'softmin'):
                 sgn = 1.0 if name == 'softmax' else -1.0
-                w = jax.nn.softmax(sgn * seg, axis=1)
-                v = jnp.sum(w * seg, axis=1)
+                z = sgn * seg
+                zmax = jnp.max(masked(z, -jnp.inf), axis=1, keepdims=True)
+                zmax = jnp.where(jnp.isfinite(zmax), zmax, 0.0)
+                ex = masked(jnp.exp(z - zmax))
+                denom = jnp.where(cnt > 0, jnp.sum(ex, axis=1), 1.0)
+                v = jnp.sum(ex * seg, axis=1) / denom
             else:
                 raise ValueError(name)
             stats[name] = v
@@ -129,3 +157,161 @@ def raw_bank(msg: jnp.ndarray, spec: Tuple[Tuple[int, int], ...],
 
         out.append(jnp.stack([get(a) for a in aggregators], axis=1))
     return jnp.concatenate(out, axis=0)        # [N, A, F]
+
+
+# ---------------------------------------------------------------------------
+# fused bank: one variadic reduce per bucket + hand-written VJP
+# ---------------------------------------------------------------------------
+
+def _bucket_views(msg, spec, in_deg):
+    """Yield (seg [c,d,F] f32, cnt [c,1], mask [c,d,1] or None, node_off)."""
+    F = msg.shape[-1]
+    eoff = noff = 0
+    for d, c in spec:
+        if d == 0:
+            yield d, c, None, None, None, noff
+            noff += c
+            continue
+        seg = msg[eoff:eoff + c * d].reshape(c, d, F).astype(jnp.float32)
+        eoff += c * d
+        if in_deg is None:
+            cnt, m = jnp.full((c, 1), float(d), jnp.float32), None
+        else:
+            cnt = in_deg[noff:noff + c].astype(jnp.float32)[:, None]
+            m = (jax.lax.broadcasted_iota(jnp.float32, (1, d, 1), 1)
+                 < cnt[:, :, None])
+        yield d, c, seg, cnt, m, noff
+        noff += c
+
+
+def _variadic_stats(seg, m):
+    """(sum, sumsq, max, min) of one bucket in a single reduce pass."""
+    s_in = seg if m is None else jnp.where(m, seg, 0.0)
+    sq_in = s_in * seg
+    mx_in = seg if m is None else jnp.where(m, seg, -BIG)
+    mn_in = seg if m is None else jnp.where(m, seg, BIG)
+    zero = jnp.zeros((), jnp.float32)
+    return jax.lax.reduce(
+        (s_in, sq_in, mx_in, mn_in),
+        (zero, zero, jnp.float32(-BIG), jnp.float32(BIG)),
+        lambda a, b: (a[0] + b[0], a[1] + b[1],
+                      jnp.maximum(a[2], b[2]), jnp.minimum(a[3], b[3])),
+        (1,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_raw_bank(msg, in_deg, spec, aggregators):
+    """Custom-VJP bucketed bank for aggregators in FUSED: forward is one
+    variadic reduce (+ one tie-count reduce) per bucket; backward is pure
+    broadcasts/elementwise — no gather, no scatter, ~4x fewer XLA ops than
+    autodiff of the naive per-aggregator reductions."""
+    Z, _ = _fwd_impl(msg, in_deg, spec, aggregators, with_ties=False)
+    return Z
+
+
+def _fwd_impl(msg, in_deg, spec, aggregators, with_ties):
+    F = msg.shape[-1]
+    A = len(aggregators)
+    outs, res_mean, res_vraw, res_std, res_mx, res_mn = [], [], [], [], [], []
+    res_tmx, res_tmn, res_cnt = [], [], []
+    for d, c, seg, cnt, m, noff in _bucket_views(msg, spec, in_deg):
+        if seg is None:
+            outs.append(jnp.zeros((c, A, F), jnp.float32))
+            for r in (res_mean, res_vraw, res_mx, res_mn):
+                r.append(jnp.zeros((c, F), jnp.float32))
+            res_std.append(jnp.full((c, F), np.sqrt(EPS), jnp.float32))
+            res_tmx.append(jnp.ones((c, F), jnp.float32))
+            res_tmn.append(jnp.ones((c, F), jnp.float32))
+            res_cnt.append(jnp.ones((c,), jnp.float32))
+            continue
+        s, sq, mx, mn = _variadic_stats(seg, m)
+        nonempty = cnt > 0
+        mx = jnp.where(nonempty, mx, 0.0)
+        mn = jnp.where(nonempty, mn, 0.0)
+        cnt1 = jnp.maximum(cnt, 1.0)
+        mean = s / cnt1
+        var_raw = sq / cnt1 - mean * mean
+        var = jax.nn.relu(var_raw)
+        std = jnp.sqrt(var + EPS)
+        table = {'mean': mean, 'sum': s, 'max': mx, 'min': mn,
+                 'var': var, 'std': std}
+        outs.append(jnp.stack([table[a] for a in aggregators], axis=1))
+        if with_ties:
+            eq_mx = (seg == mx[:, None]).astype(jnp.float32)
+            eq_mn = (seg == mn[:, None]).astype(jnp.float32)
+            if m is not None:
+                eq_mx = jnp.where(m, eq_mx, 0.0)
+                eq_mn = jnp.where(m, eq_mn, 0.0)
+            zero = jnp.zeros((), jnp.float32)
+            tmx, tmn = jax.lax.reduce(
+                (eq_mx, eq_mn), (zero, zero),
+                lambda a, b: (a[0] + b[0], a[1] + b[1]), (1,))
+            res_tmx.append(jnp.maximum(tmx, 1.0))
+            res_tmn.append(jnp.maximum(tmn, 1.0))
+        res_mean.append(mean)
+        res_vraw.append(var_raw)
+        res_std.append(std)
+        res_mx.append(mx)
+        res_mn.append(mn)
+        res_cnt.append(cnt1[:, 0])
+    Z = jnp.concatenate(outs, axis=0)
+    if not with_ties:
+        return Z, None
+    res = tuple(jnp.concatenate(r, axis=0) for r in
+                (res_mean, res_vraw, res_std, res_mx, res_mn,
+                 res_tmx, res_tmn, res_cnt))
+    return Z, res
+
+
+def _fwd(msg, in_deg, spec, aggregators):
+    Z, res = _fwd_impl(msg, in_deg, spec, aggregators, with_ties=True)
+    return Z, (msg, in_deg) + res
+
+
+def _bwd(spec, aggregators, residuals, d_Z):
+    (msg, in_deg, mean, var_raw, std, mx, mn, tmx, tmn, cnt1) = residuals
+    N, F = mean.shape
+    g_lin = jnp.zeros((N, F), jnp.float32)
+    g_quad = jnp.zeros((N, F), jnp.float32)
+    g_max = jnp.zeros((N, F), jnp.float32)
+    g_min = jnp.zeros((N, F), jnp.float32)
+    inv_cnt = (1.0 / cnt1)[:, None]
+    for i, a in enumerate(aggregators):
+        dv = d_Z[:, i, :].astype(jnp.float32)
+        if a == 'sum':
+            g_lin = g_lin + dv
+        elif a == 'mean':
+            g_lin = g_lin + dv * inv_cnt
+        elif a == 'max':
+            g_max = g_max + dv
+        elif a == 'min':
+            g_min = g_min + dv
+        elif a in ('var', 'std'):
+            if a == 'std':
+                dv = dv * (0.5 / std)
+            dv = dv * (var_raw > 0).astype(jnp.float32)
+            g_quad = g_quad + dv * inv_cnt
+            g_lin = g_lin - dv * 2.0 * mean * inv_cnt
+        else:
+            raise ValueError(a)
+    g_max = g_max / tmx
+    g_min = g_min / tmn
+
+    parts = []
+    for d, c, seg, cnt, m, noff in _bucket_views(msg, spec, in_deg):
+        if seg is None:
+            continue
+        sl = slice(noff, noff + c)
+        dm = (g_lin[sl][:, None] + 2.0 * seg * g_quad[sl][:, None]
+              + (seg == mx[sl][:, None]).astype(jnp.float32)
+              * g_max[sl][:, None]
+              + (seg == mn[sl][:, None]).astype(jnp.float32)
+              * g_min[sl][:, None])
+        if m is not None:
+            dm = jnp.where(m, dm, 0.0)
+        parts.append(dm.reshape(c * d, F))
+    d_msg = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return d_msg.astype(msg.dtype), None
+
+
+fused_raw_bank.defvjp(_fwd, _bwd)
