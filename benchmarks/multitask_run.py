@@ -1,0 +1,163 @@
+"""Full-size multitask accuracy run — reproduces the reference's headline
+numbers (BASELINE.md: mean log10(MSE) across the 6 tasks, PNA ~ -2.97,
+MPNN(sum) ~ -2.47, GCN ~ -1.90; box plot linked at
+multitask_benchmark/README.md:3).
+
+Recipe per multitask_benchmark/README.md:36: --variable --fixed --gru
+--lr=0.003 --weight_decay=1e-6 --dropout=0.0 --epochs=10000 --patience=1000
+--variable_conv_layers=N/2 --fc_layers=3 --hidden=16 --towers=4
+--aggregators="mean max min std" --scalers="identity amplification
+attenuation".  MPNN = PNA with one aggregator x identity scaler
+(multitask_benchmark/train/mpnn.py:16); GCN/GAT/GIN per their train scripts.
+
+Writes/merges per-model results into RESULTS_multitask.json at the repo root:
+per-task test MSE, mean log10(MSE), best val epoch, wall-clock.
+
+Usage:  python benchmarks/multitask_run.py --model pna [--max_time_h 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_model(name: str, data, hidden: int, fc_layers: int):
+    from pna_tpu.nn.dense import (GATLayerDense, GCNLayerDense,
+                                  GINLayerDense, PNALayerDense)
+    from pna_tpu.nn.gnn import GNN
+    from pna_tpu.ops.scalers import avg_d_from_dense_adj
+
+    def pna_conv(aggregators, scalers, divide_input, towers=4):
+        avg_d = avg_d_from_dense_adj(data['adj']['train'])
+        return dict(layer_type=PNALayerDense,
+                    args=dict(aggregators=aggregators, scalers=scalers,
+                              avg_d=avg_d, towers=towers, self_loop=False,
+                              divide_input=divide_input,
+                              pretrans_layers=1, posttrans_layers=1))
+
+    if name == 'pna':
+        aggs = 'mean max min std'.split()
+        scal = 'identity amplification attenuation'.split()
+        first, middle = pna_conv(aggs, scal, False), pna_conv(aggs, scal, True)
+    elif name.startswith('mpnn_'):
+        agg = name.split('_', 1)[1]
+        first = pna_conv([agg], ['identity'], False)
+        middle = pna_conv([agg], ['identity'], True)
+    elif name == 'gcn':
+        first = middle = dict(layer_type=GCNLayerDense, args=dict())
+    elif name == 'gat':
+        first = middle = dict(layer_type=GATLayerDense,
+                              args=dict(nheads=4, alpha=0.2))
+    elif name == 'gin':
+        first = middle = dict(layer_type=GINLayerDense,
+                              args=dict(fc_layers=2))
+    else:
+        raise ValueError(name)
+
+    return GNN(nhid=hidden,
+               nodes_out=data['node_labels']['train'][0].shape[-1],
+               graph_out=data['graph_labels']['train'][0].shape[-1],
+               dropout=0.0, conv_layers='N/2', fc_layers=fc_layers,
+               final_activation='LeakyReLu', skip=False, gru=True,
+               fixed=True, variable=True, first_conv=first,
+               middle_conv=middle)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--model', default='pna',
+                   choices=['pna', 'mpnn_sum', 'mpnn_max', 'gcn', 'gat',
+                            'gin'])
+    p.add_argument('--data', default=os.path.join(REPO, 'data',
+                                                  'multitask_dataset.pkl'))
+    p.add_argument('--out', default=os.path.join(REPO,
+                                                 'RESULTS_multitask.json'))
+    p.add_argument('--epochs', type=int, default=10000)
+    p.add_argument('--patience', type=int, default=1000)
+    p.add_argument('--lr', type=float, default=0.003)
+    p.add_argument('--weight_decay', type=float, default=1e-6)
+    p.add_argument('--hidden', type=int, default=16)
+    p.add_argument('--fc_layers', type=int, default=3)
+    p.add_argument('--seed', type=int, default=42)
+    p.add_argument('--max_time_h', type=float, default=None)
+    p.add_argument('--print_every', type=int, default=25)
+    args = p.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from pna_tpu.data.multitask import load_multitask_dataset
+    from pna_tpu.train.engine import MultitaskTrainer, TrainConfig
+
+    data = load_multitask_dataset(args.data, print_baseline=True)
+    model = build_model(args.model, data, args.hidden, args.fc_layers)
+
+    os.makedirs(os.path.join(REPO, 'benchmarks', 'runs'), exist_ok=True)
+    cfg = TrainConfig(
+        lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
+        patience=args.patience, seed=args.seed, print_every=args.print_every,
+        metrics_path=os.path.join(REPO, 'benchmarks', 'runs',
+                                  f'multitask_{args.model}.jsonl'),
+        checkpoint_path=os.path.join(REPO, 'benchmarks', 'runs',
+                                     f'multitask_{args.model}_best.pkl'),
+        max_time_s=None if args.max_time_h is None
+        else args.max_time_h * 3600.0)
+
+    trainer = MultitaskTrainer(model, data, cfg)
+    t0 = time.time()
+    state = trainer.fit()
+    wall = time.time() - t0
+
+    results = trainer.test(state)
+    test_key = 'test' if 'test' in results else sorted(results)[0]
+    per_task = [float(x) for x in results[test_key]['per_task']]
+    mean_log10 = float(np.mean([math.log10(max(x, 1e-12))
+                                for x in per_task]))
+    entry = dict(
+        model=args.model,
+        mean_log10_mse=round(mean_log10, 4),
+        per_task_mse=[round(x, 8) for x in per_task],
+        per_task_log10=[round(math.log10(max(x, 1e-12)), 4)
+                        for x in per_task],
+        total_test_loss=round(float(results[test_key]['total']), 6),
+        best_val_loss=round(float(state['best_val']), 6),
+        best_epoch=int(state['best_epoch']),
+        wall_clock_s=round(wall, 1),
+        backend=jax.default_backend(),
+        recipe=dict(lr=args.lr, weight_decay=args.weight_decay,
+                    hidden=args.hidden, fc_layers=args.fc_layers,
+                    epochs=args.epochs, patience=args.patience,
+                    variable_conv_layers='N/2', gru=True, fixed=True,
+                    variable=True, seed=args.seed),
+    )
+
+    merged = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+    merged.setdefault('reference_targets', {
+        'pna': -2.97, 'mpnn_sum': -2.47, 'mpnn_max': -2.20, 'gat': -2.09,
+        'gcn': -1.90, 'gin': -1.86,
+        'source': 'multitask_benchmark/images/multitask_results.png '
+                  '(BASELINE.md)'})
+    merged[args.model] = entry
+    with open(args.out, 'w') as f:
+        json.dump(merged, f, indent=2)
+    print(json.dumps(entry))
+    print(f"mean log10(MSE) [{args.model}] = {mean_log10:.3f} "
+          f"(reference target "
+          f"{merged['reference_targets'].get(args.model, 'n/a')})")
+
+
+if __name__ == '__main__':
+    main()

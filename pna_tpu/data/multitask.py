@@ -150,7 +150,17 @@ def load_multitask_dataset(path: str, print_baseline: bool = True,
                            loss: str = 'mse'):
     """Load a dataset pickle (ours, or the reference's torch.save format),
     normalize labels by train max (util/util.py:13-17) and optionally print the
-    mean-predictor baseline (util/util.py:19-32)."""
+    mean-predictor baseline (util/util.py:19-32).
+
+    ``path='synthetic'`` builds a tiny in-memory dataset (smoke tests / the
+    verify recipe) instead of reading a file."""
+    if path == 'synthetic':
+        data = build_multitask_dataset(
+            out_path=None, seed=7,
+            n_graphs={'train': [32] * 2, 'val': [16] * 2, 'default': [16] * 2},
+            sizes={'train': [15, 18], 'val': [16, 19], 'test': [15, 18]},
+            verbose=False)
+        return _normalize_and_baseline(data, print_baseline)
     with open(path, 'rb') as f:
         head = f.read(2)
     if head == b'\x80\x02' or head[:1] == b'\x80':
@@ -167,6 +177,10 @@ def load_multitask_dataset(path: str, print_baseline: bool = True,
         adj, features, node_labels, graph_labels = data
         data = dict(adj=_np(adj), features=_np(features),
                     node_labels=_np(node_labels), graph_labels=_np(graph_labels))
+    return _normalize_and_baseline(data, print_baseline)
+
+
+def _normalize_and_baseline(data, print_baseline: bool):
     adj, features = data['adj'], data['features']
     node_labels, graph_labels = data['node_labels'], data['graph_labels']
 

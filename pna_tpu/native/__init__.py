@@ -60,6 +60,10 @@ def get_lib():
         lib.partition_stats.argtypes = [i64p, i64p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int64, i64p, i64p]
+        lib.build_partition_indices.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, u8p, i32p, u8p]
         _lib = lib
         return _lib
 

@@ -56,27 +56,100 @@ void sort_edges_by_receiver(const int32_t* receivers, int64_t n_edges,
     }
 }
 
+// Counting-sort edge ids by the part owning their receiver; shared by the
+// partition passes so the sender-stamp dedup below is exact (each part's
+// edges are visited contiguously).
+static void group_edges_by_part(const int64_t* receivers, int64_t n_edges,
+                                int64_t nl, int64_t num_parts,
+                                std::vector<int64_t>& order,
+                                std::vector<int64_t>& part_start) {
+    part_start.assign(num_parts + 1, 0);
+    for (int64_t e = 0; e < n_edges; ++e) part_start[receivers[e] / nl + 1]++;
+    for (int64_t p = 0; p < num_parts; ++p) part_start[p + 1] += part_start[p];
+    order.resize(n_edges);
+    std::vector<int64_t> cur(part_start.begin(), part_start.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) order[cur[receivers[e] / nl]++] = e;
+}
+
 // Partition bookkeeping for contiguous node-range partitions (nl nodes per
 // part): counts edges per part and, per (src_part, dst_part) pair, the number
 // of distinct remote sender nodes (halo size).  Outputs:
 //   edge_count[p], halo_count[q * P + p]
-// Uses a stamp array to count distinct senders without sorting.
+// Exact: edges are grouped by destination part first, so the per-sender
+// stamp dedup cannot be fooled by interleaved destinations.
 void partition_stats(const int64_t* senders, const int64_t* receivers,
                      int64_t n_edges, int64_t nl, int64_t num_parts,
                      int64_t n_nodes,
                      int64_t* edge_count, int64_t* halo_count) {
-    std::memset(edge_count, 0, sizeof(int64_t) * num_parts);
     std::memset(halo_count, 0, sizeof(int64_t) * num_parts * num_parts);
+    std::vector<int64_t> order, part_start;
+    group_edges_by_part(receivers, n_edges, nl, num_parts, order, part_start);
+    for (int64_t p = 0; p < num_parts; ++p)
+        edge_count[p] = part_start[p + 1] - part_start[p];
     std::vector<int32_t> stamp(n_nodes, -1);
-    for (int64_t e = 0; e < n_edges; ++e) {
-        int64_t p = receivers[e] / nl;
-        edge_count[p]++;
-        int64_t q = senders[e] / nl;
-        if (q != p) {
-            // distinct (sender, p) pairs: stamp by destination part
-            if (stamp[senders[e]] != (int32_t)p) {
-                stamp[senders[e]] = (int32_t)p;
+    for (int64_t p = 0; p < num_parts; ++p) {
+        for (int64_t i = part_start[p]; i < part_start[p + 1]; ++i) {
+            int64_t s = senders[order[i]];
+            int64_t q = s / nl;
+            if (q != p && stamp[s] != (int32_t)p) {
+                stamp[s] = (int32_t)p;
                 halo_count[q * num_parts + p]++;
+            }
+        }
+    }
+}
+
+// Full edge-partition index build (the O(E) host preprocessing of the
+// distributed path).  Caller sizes el/h from partition_stats.  Within each
+// part, edges whose sender is local come first (overlap-friendly order,
+// original order preserved within each group).  Ghost slots are assigned in
+// first-encounter order; send_idx[q * P + p] lists the q-local node ids to
+// ship to p, and a remote sender's local index is nl + q * h + slot.
+void build_partition_indices(
+    const int64_t* senders, const int64_t* receivers, int64_t n_edges,
+    int64_t nl, int64_t num_parts, int64_t n_nodes, int64_t el, int64_t h,
+    int32_t* senders_local,    // [P, el]
+    int32_t* receivers_local,  // [P, el]
+    uint8_t* edge_mask,        // [P, el]
+    int32_t* send_idx,         // [P, P, h]
+    uint8_t* send_mask) {      // [P, P, h]
+    std::memset(senders_local, 0, sizeof(int32_t) * num_parts * el);
+    std::memset(receivers_local, 0, sizeof(int32_t) * num_parts * el);
+    std::memset(edge_mask, 0, sizeof(uint8_t) * num_parts * el);
+    std::memset(send_idx, 0, sizeof(int32_t) * num_parts * num_parts * h);
+    std::memset(send_mask, 0, sizeof(uint8_t) * num_parts * num_parts * h);
+
+    std::vector<int64_t> order, part_start;
+    group_edges_by_part(receivers, n_edges, nl, num_parts, order, part_start);
+
+    std::vector<int32_t> stamp(n_nodes, -1);
+    std::vector<int32_t> slot(n_nodes, 0);
+    std::vector<int64_t> halo_fill(num_parts * num_parts, 0);
+    for (int64_t p = 0; p < num_parts; ++p) {
+        // local-sender edges first, then remote, original order within each
+        int64_t cur = 0;
+        for (int64_t pass = 0; pass < 2; ++pass) {
+            for (int64_t i = part_start[p]; i < part_start[p + 1]; ++i) {
+                int64_t e = order[i];
+                int64_t s = senders[e];
+                int64_t q = s / nl;
+                if ((q == p) != (pass == 0)) continue;
+                int64_t pos = p * el + cur++;
+                receivers_local[pos] = (int32_t)(receivers[e] - p * nl);
+                edge_mask[pos] = 1;
+                if (q == p) {
+                    senders_local[pos] = (int32_t)(s - p * nl);
+                } else {
+                    if (stamp[s] != (int32_t)p) {
+                        stamp[s] = (int32_t)p;
+                        int64_t k = halo_fill[q * num_parts + p]++;
+                        slot[s] = (int32_t)k;
+                        send_idx[(q * num_parts + p) * h + k] =
+                            (int32_t)(s - q * nl);
+                        send_mask[(q * num_parts + p) * h + k] = 1;
+                    }
+                    senders_local[pos] = (int32_t)(nl + q * h + slot[s]);
+                }
             }
         }
     }

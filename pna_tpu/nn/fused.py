@@ -114,6 +114,14 @@ class PNALayerFused(nn.Module):
     residual: bool = False
     edge_features: bool = False
     compute_dtype: Optional[jnp.dtype] = None   # e.g. jnp.bfloat16
+    # aggregation backend: 'auto' picks bucketed > ELL > generic (measured
+    # ranking on v5e); 'pallas' forces the hand-written sorted-edge moment
+    # sketch kernel (pna_tpu/ops/pallas_kernels.py, needs graph.edge_ptr);
+    # 'bucketed' / 'ell' / 'generic' force the respective XLA paths.
+    kernel: str = 'auto'
+    # static in-degree bound hint for the Pallas kernel's segmented scan
+    max_degree: int = 0
+    pallas_interpret: bool = False   # CPU tests run the kernel interpreted
 
     @nn.compact
     def __call__(self, graph: Graph, h, e=None, train: bool = False):
@@ -183,15 +191,38 @@ class PNALayerFused(nn.Module):
         # msg: [E, T, Ft], flat view is tower-major [E, T*Ft]
 
         # ---- aggregation ----
-        from pna_tpu.ops import fused_vjp
+        from pna_tpu.ops import fused_vjp, pallas_bank
         scalers_ok = all(s in fused_vjp._SCALERS for s in self.scalers)
         no_ident = 'identity' not in self.aggregators
+        kern = self.kernel
         bucket_fast = (graph.bucket_spec is not None and scalers_ok
-                       and no_ident and bucketed.supports(self.aggregators))
+                       and no_ident and bucketed.supports(self.aggregators)
+                       and kern in ('auto', 'bucketed'))
         ell_fast = (graph.nbr_edge_ids is not None and no_ident
-                    and fused_vjp.supports(self.aggregators, self.scalers))
-        if bucket_fast or ell_fast:
-            if bucket_fast:
+                    and fused_vjp.supports(self.aggregators, self.scalers)
+                    and kern in ('auto', 'ell'))
+        pallas_fast = (graph.edge_ptr is not None and scalers_ok and no_ident
+                       and pallas_bank.supports(self.aggregators)
+                       and kern == 'pallas')
+        if kern == 'pallas' and not pallas_fast:
+            raise ValueError("kernel='pallas' requires graph.edge_ptr "
+                             "(batch_graphs(sort_edges=True)) and supported "
+                             "aggregators/scalers")
+        if bucket_fast:
+            ell_fast = pallas_fast = False
+        if bucket_fast or ell_fast or pallas_fast:
+            if pallas_fast:
+                bank = pallas_bank.make_pallas_raw_bank(
+                    graph.receivers, graph.edge_mask, graph.edge_ptr,
+                    max_degree=self.max_degree,
+                    interpret=self.pallas_interpret)
+                Z = bank(msg.reshape(E, T * Ft), tuple(self.aggregators))
+                ptr = graph.edge_ptr
+                if graph.edge_mask is not None:
+                    n_real = jnp.sum(graph.edge_mask.astype(jnp.int32))
+                    ptr = jnp.minimum(ptr, n_real)
+                deg = (ptr[1:] - ptr[:-1]).astype(jnp.float32)
+            elif bucket_fast:
                 # dense per-bucket reductions: no gather/scatter at all.
                 # (bucketed.fused_raw_bank — variadic reduce + custom VJP —
                 # measured *slower* than XLA autodiff of these dense

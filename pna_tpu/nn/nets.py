@@ -88,6 +88,11 @@ class PNANetMolecules(nn.Module):
     fused_towers: bool = True
     # bf16 matmuls/gathers with f32 accumulation (fused path only)
     compute_dtype: Optional[jnp.dtype] = None
+    # aggregation backend for the fused path: 'auto'|'pallas'|'bucketed'|
+    # 'ell'|'generic' (see pna_tpu/nn/fused.py)
+    kernel: str = 'auto'
+    max_degree: int = 0
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, h_idx, e_idx=None, train: bool = False):
@@ -115,7 +120,9 @@ class PNANetMolecules(nn.Module):
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
             layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
-            extra = ({'compute_dtype': self.compute_dtype}
+            extra = ({'compute_dtype': self.compute_dtype,
+                      'kernel': self.kernel, 'max_degree': self.max_degree,
+                      'pallas_interpret': self.pallas_interpret}
                      if self.fused_towers else {})
             conv = layer_cls(
                 out_dim=self.out_dim if last else self.hidden_dim,
@@ -170,6 +177,11 @@ class PNANetSuperpixels(nn.Module):
     fused_towers: bool = True
     # bf16 matmuls/gathers with f32 accumulation (fused path only)
     compute_dtype: Optional[jnp.dtype] = None
+    # aggregation backend for the fused path: 'auto'|'pallas'|'bucketed'|
+    # 'ell'|'generic' (see pna_tpu/nn/fused.py)
+    kernel: str = 'auto'
+    max_degree: int = 0
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, h, e=None, train: bool = False):
@@ -197,7 +209,9 @@ class PNANetSuperpixels(nn.Module):
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
             layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
-            extra = ({'compute_dtype': self.compute_dtype}
+            extra = ({'compute_dtype': self.compute_dtype,
+                      'kernel': self.kernel, 'max_degree': self.max_degree,
+                      'pallas_interpret': self.pallas_interpret}
                      if self.fused_towers else {})
             conv = layer_cls(
                 out_dim=self.out_dim if last else self.hidden_dim,

@@ -45,6 +45,9 @@ class TrainConfig:
     # TPU-native additions
     data_parallel: bool = False  # shard bucket batches over all devices
     metrics_path: Optional[str] = None  # JSONL per-epoch metrics
+    # hard wall-clock stop, like the realworld max_time flag
+    # (realworld_benchmark/main_molecules.py:158-162); None = unlimited
+    max_time_s: Optional[float] = None
 
 
 class MultitaskTrainer:
@@ -204,6 +207,11 @@ class MultitaskTrainer:
                        f"@{best_epoch}, {time.time() - t0:.1f}s)")
             if bad == cfg.patience:
                 log_fn(f"Early stop at epoch {epoch + 1}")
+                break
+            if (cfg.max_time_s is not None
+                    and time.time() - t0 > cfg.max_time_s):
+                log_fn(f"Max-time stop at epoch {epoch + 1} "
+                       f"({time.time() - t0:.0f}s)")
                 break
 
         if logger:
