@@ -22,11 +22,13 @@ import argparse
 import json
 import math
 import os
+import sys
 import time
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def build_model(name: str, data, hidden: int, fc_layers: int):

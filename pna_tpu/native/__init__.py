@@ -104,6 +104,57 @@ def build_ell_native(receivers: np.ndarray, edge_mask: np.ndarray,
     return nbr, out_mask.astype(bool)
 
 
+def partition_stats(senders: np.ndarray, receivers: np.ndarray,
+                    nl: int, num_parts: int, n_nodes: int):
+    """Per-part edge counts and per-(src_part, dst_part) halo sizes.
+
+    Returns (edge_count [P], halo_count [P, P]) or None if the native lib is
+    unavailable (callers fall back to the vectorized numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, dtype=np.int64)
+    receivers = np.ascontiguousarray(receivers, dtype=np.int64)
+    edge_count = np.zeros(num_parts, dtype=np.int64)
+    halo_count = np.zeros(num_parts * num_parts, dtype=np.int64)
+    lib.partition_stats(_ptr(senders, ctypes.c_int64),
+                        _ptr(receivers, ctypes.c_int64),
+                        len(senders), nl, num_parts, n_nodes,
+                        _ptr(edge_count, ctypes.c_int64),
+                        _ptr(halo_count, ctypes.c_int64))
+    return edge_count, halo_count.reshape(num_parts, num_parts)
+
+
+def build_partition_indices(senders: np.ndarray, receivers: np.ndarray,
+                            nl: int, num_parts: int, n_nodes: int,
+                            el: int, h: int):
+    """Full O(E) edge-partition index build (see graph_ops.cpp for the exact
+    layout contract).  Returns (senders_local [P, el] i32, receivers_local
+    [P, el] i32, edge_mask [P, el] bool, send_idx [P, P, h] i32,
+    send_mask [P, P, h] bool) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, dtype=np.int64)
+    receivers = np.ascontiguousarray(receivers, dtype=np.int64)
+    P = num_parts
+    senders_local = np.zeros((P, el), dtype=np.int32)
+    receivers_local = np.zeros((P, el), dtype=np.int32)
+    edge_mask = np.zeros((P, el), dtype=np.uint8)
+    send_idx = np.zeros((P, P, h), dtype=np.int32)
+    send_mask = np.zeros((P, P, h), dtype=np.uint8)
+    lib.build_partition_indices(
+        _ptr(senders, ctypes.c_int64), _ptr(receivers, ctypes.c_int64),
+        len(senders), nl, P, n_nodes, el, h,
+        _ptr(senders_local, ctypes.c_int32),
+        _ptr(receivers_local, ctypes.c_int32),
+        _ptr(edge_mask, ctypes.c_uint8),
+        _ptr(send_idx, ctypes.c_int32),
+        _ptr(send_mask, ctypes.c_uint8))
+    return (senders_local, receivers_local, edge_mask.astype(bool),
+            send_idx, send_mask.astype(bool))
+
+
 def sort_edges_by_receiver(receivers: np.ndarray, n_nodes: int) -> np.ndarray:
     lib = get_lib()
     receivers = np.ascontiguousarray(receivers, dtype=np.int32)

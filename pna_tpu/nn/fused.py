@@ -29,7 +29,7 @@ equivalence with ported weights):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -122,9 +122,26 @@ class PNALayerFused(nn.Module):
     # static in-degree bound hint for the Pallas kernel's segmented scan
     max_degree: int = 0
     pallas_interpret: bool = False   # CPU tests run the kernel interpreted
+    # cross-device BatchNorm statistics (mesh axis name(s), used under
+    # shard_map in the edge-partitioned distributed path)
+    bn_axis_name: Optional[Any] = None
+    # tower tensor-parallelism: mesh axis the ``towers`` dimension of the
+    # stacked pretrans/posttrans weights is sharded over (see
+    # pna_tpu/parallel/tower_tp.py).  When set, per-tower contractions run as
+    # batched einsums with sharding constraints on the tower axis (each
+    # device computes its own towers; the towers in the reference are
+    # independent channel groups, models/pytorch/pna/layer.py:90-106) instead
+    # of the single block-diagonal matmul, and GSPMD gathers only at the
+    # mixing FC.
+    tp_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, graph: Graph, h, e=None, train: bool = False):
+    def __call__(self, graph: Graph, h, e=None, train: bool = False,
+                 sender_table=None):
+        """``sender_table`` (distributed path): a [Nl + halo, F] ghost feature
+        table — local node features followed by halo-exchanged remote sender
+        features — that ``graph.senders`` indexes into.  ``None`` (default)
+        gathers senders from ``h`` itself (single-device semantics)."""
         in_dim = h.shape[-1]
         T = self.towers
         assert (not self.divide_input) or in_dim % T == 0
@@ -149,8 +166,21 @@ class PNALayerFused(nn.Module):
         # lowers batched/multi-axis einsums on these shapes as convolutions
         # with poor MXU tiling; a single [rows, cols] dot is ~5-20x faster
         # here even though the block-diagonal zeros cost T x the FLOPs.
+        # Under tower TP (tp_axis) the batched einsum is used instead: the
+        # tower axis is sharded, each device contracts only its towers.
+        def _constrain_towers(y):
+            # y [..., T, fo]: shard the tower axis over the TP mesh axis
+            from jax.sharding import PartitionSpec
+            spec = PartitionSpec(*([None] * (y.ndim - 2)), self.tp_axis, None)
+            return jax.lax.with_sharding_constraint(y, spec)
+
         def ein(x, k):  # x [.., T, fi], k [T, fi, fo] -> [.., T, fo]
             T_, fi, fo = k.shape
+            if self.tp_axis is not None:
+                y = jnp.einsum('...tf,tfo->...to', x.astype(cdt),
+                               k.astype(cdt),
+                               preferred_element_type=jnp.float32)
+                return _constrain_towers(y)
             eye = jnp.eye(T_, dtype=cdt)
             kb = jnp.einsum('tio,ts->tiso', k.astype(cdt), eye)
             kb = kb.reshape(T_ * fi, T_ * fo)
@@ -162,6 +192,11 @@ class PNALayerFused(nn.Module):
 
         def ein_shared(x, k):  # input shared across towers
             T_, fi, fo = k.shape
+            if self.tp_axis is not None:
+                y = jnp.einsum('...f,tfo->...to', x.astype(cdt),
+                               k.astype(cdt),
+                               preferred_element_type=jnp.float32)
+                return _constrain_towers(y)
             kb = jnp.transpose(k.astype(cdt), (1, 0, 2)).reshape(fi, T_ * fo)
             y = jnp.einsum('...k,ko->...o', x.astype(cdt), kb,
                            preferred_element_type=jnp.float32)
@@ -170,7 +205,8 @@ class PNALayerFused(nn.Module):
         # ---- pretrans: split-kernel first layer, no concat materialized ----
         from pna_tpu.ops import bucketed
         hb = h.astype(cdt)
-        src = hb[graph.senders]                   # [E, in_dim]
+        src = (hb if sender_table is None
+               else sender_table.astype(cdt))[graph.senders]   # [E, in_dim]
         if graph.bucket_spec is not None:
             # receiver "gather" is a broadcast in the bucketed layout
             dst = bucketed.expand_to_edges(hb, graph.bucket_spec)
@@ -257,12 +293,23 @@ class PNALayerFused(nn.Module):
             # output: one [N, A*T*Ft] x [A*T*Ft, T*O*S] matmul whose weight
             # matches Z's natural (a, t, f) layout (t block-matched)
             Fo1 = post_dims[1]
-            eye = jnp.eye(T, dtype=cdt)
-            W = jnp.einsum('tsafo,tu->atfuos', k_agg.astype(cdt), eye)
-            W = W.reshape(A * T * Ft, T * Fo1 * S)
-            y = jnp.einsum('nk,ko->no', Z.reshape(N, A * T * Ft).astype(cdt),
-                           W, preferred_element_type=jnp.float32)
-            y = y.reshape(N, T, Fo1, S)                         # [N,T,O,S]
+            if self.tp_axis is not None:
+                # per-tower contraction, tower axis sharded over the TP axis
+                y = jnp.einsum('natf,tsafo->ntos',
+                               Z.reshape(N, A, T, Ft).astype(cdt),
+                               k_agg.astype(cdt),
+                               preferred_element_type=jnp.float32)
+                from jax.sharding import PartitionSpec
+                y = jax.lax.with_sharding_constraint(
+                    y, PartitionSpec(None, self.tp_axis, None, None))
+            else:
+                eye = jnp.eye(T, dtype=cdt)
+                W = jnp.einsum('tsafo,tu->atfuos', k_agg.astype(cdt), eye)
+                W = W.reshape(A * T * Ft, T * Fo1 * S)
+                y = jnp.einsum('nk,ko->no',
+                               Z.reshape(N, A * T * Ft).astype(cdt),
+                               W, preferred_element_type=jnp.float32)
+                y = y.reshape(N, T, Fo1, S)                     # [N,T,O,S]
             out = out + jnp.einsum('ntos,sn->nto', y,
                                    w.astype(jnp.float32)) + bp
         else:
@@ -304,8 +351,9 @@ class PNALayerFused(nn.Module):
             out = out * graph.snorm_n
         if self.batch_norm:
             # per-tower BN channels are disjoint -> one BN over T*Fo channels
-            out = MaskedBatchNorm(name='batchnorm_h')(out, graph.node_mask,
-                                                      train)
+            out = MaskedBatchNorm(name='batchnorm_h',
+                                  axis_name=self.bn_axis_name)(
+                out, graph.node_mask, train)
         if self.dropout:
             out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
 

@@ -14,7 +14,7 @@ Parity notes (reference: models/layers.py):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -72,15 +72,19 @@ def get_activation(name: Optional[str]) -> Optional[Callable]:
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm over the trailing feature axis with torch BatchNorm1d defaults."""
+    """BatchNorm over the trailing feature axis with torch BatchNorm1d defaults.
+
+    ``axis_name`` psums batch statistics over the named mesh axes so
+    data-parallel training matches single-device statistics."""
     momentum: float = 0.9  # flax convention == torch momentum 0.1
     eps: float = 1e-5
+    axis_name: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.BatchNorm(use_running_average=not train,
                             momentum=self.momentum, epsilon=self.eps,
-                            axis_name=None)(x)
+                            axis_name=self.axis_name)(x)
 
 
 class FCLayer(nn.Module):
@@ -91,6 +95,7 @@ class FCLayer(nn.Module):
     b_norm: bool = False
     bias: bool = True
     init_gain_inverse_in: bool = True  # xavier gain = 1/in_size (reference default)
+    bn_axis_name: Optional[Any] = None  # cross-device BN statistics
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -107,7 +112,7 @@ class FCLayer(nn.Module):
             h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
         if self.b_norm:
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(h)
+                             epsilon=1e-5, axis_name=self.bn_axis_name)(h)
         return h
 
 

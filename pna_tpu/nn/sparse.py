@@ -20,7 +20,7 @@ Semantics parity notes:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -125,9 +125,15 @@ class MaskedBatchNorm(nn.Module):
     torch BatchNorm1d (models/dgl/pna_layer.py:26) sees only real nodes; with
     padding we compute masked mean/var ourselves and keep running stats in the
     'batch_stats' collection (momentum 0.1 torch-style, eps 1e-5).
+
+    ``axis_name`` (str or tuple of mesh axis names) makes the statistics
+    global under sharding: the masked (count, sum, sum-of-squares) partials
+    are psum'd over the named axes inside shard_map/pjit, so data- or
+    graph-parallel training reproduces single-device statistics exactly.
     """
     momentum: float = 0.1
     eps: float = 1e-5
+    axis_name: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
@@ -140,9 +146,16 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((feat,)))
         if train:
             m = mask.astype(x.dtype)[:, None]
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / n
-            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
+            n = jnp.sum(m)
+            s1 = jnp.sum(x * m, axis=0)
+            s2 = jnp.sum((x * x) * m, axis=0)
+            if self.axis_name is not None and not self.is_initializing():
+                n = jax.lax.psum(n, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 # torch running_var uses the unbiased estimate
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)

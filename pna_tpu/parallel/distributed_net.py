@@ -8,123 +8,172 @@ is edge-partitioned over the ``graph`` mesh axis (halo exchange per layer, see
 feature broadcast into grad psums) and the Adam update — is one jitted SPMD
 program.
 
-Model: a PNASimpleLayer-style stack (aggregate -> linear -> relu [+ residual])
-with a mean-node graph readout and scalar regression head; enough structure to
-exercise every communication pattern while staying kernel-honest.
+The model is the REAL flagship stack: embedding -> L x ``PNALayerFused``
+(towers, split-kernel pretrans, fused aggregator x scaler bank, masked
+BatchNorm with cross-device statistics, residual) -> masked-mean readout ->
+``MLPReadout`` head — the same modules the ZINC benchmark trains
+(pna_tpu/nn/nets.py), so the partitioned run is gradient-exact against the
+single-device oracle (tests/test_distributed_net.py).  Reference anchor for
+what must distribute: the DGL tower layer /root/reference/models/dgl/
+pna_layer.py:17-148 (which has no distributed counterpart).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, NamedTuple, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from flax import linen as nn
+from flax.core import FrozenDict
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pna_tpu.graph import Graph
-from pna_tpu.nn.sparse import aggregate_bank
+from pna_tpu.nn.fused import PNALayerFused
+from pna_tpu.nn.layers import MLPReadout
 from pna_tpu.parallel.partition import EdgePartition, halo_exchange
 
 
-def init_distributed_pna_params(rng, in_dim: int, hidden: int, n_layers: int,
-                                n_aggs: int, n_scalers: int) -> Dict:
-    params = {}
-    k = rng
-    dim = in_dim
-    for l in range(n_layers):
-        k, k1, k2 = jax.random.split(k, 3)
-        fan_in = n_aggs * n_scalers * dim
-        params[f'layer_{l}'] = {
-            'W': jax.random.normal(k1, (fan_in, hidden)) / np.sqrt(fan_in),
-            'b': jnp.zeros((hidden,)),
-        }
-        dim = hidden
-    k, k1 = jax.random.split(k)
-    params['head'] = {'W': jax.random.normal(k1, (hidden, 1)) / np.sqrt(hidden),
-                      'b': jnp.zeros((1,))}
-    return params
+class DistributedPNANet(nn.Module):
+    """Flagship PNA net, device-count agnostic.
+
+    With ``send_idx``/``send_mask`` (inside shard_map): before every layer the
+    current node features are halo-exchanged over ``graph_axis`` and the layer
+    gathers senders from the ghost table; BatchNorm statistics are psum'd over
+    ``bn_axes``.  Without them (``None``): plain single-device semantics — the
+    oracle the distributed run is tested against, with an identical param tree.
+    """
+    hidden_dim: int = 64
+    out_dim: int = 64
+    n_layers: int = 4
+    towers: int = 4
+    aggregators: Sequence[str] = ('mean', 'max', 'min', 'std')
+    scalers: Sequence[str] = ('identity', 'amplification', 'attenuation')
+    avg_d: Optional[dict] = None
+    batch_norm: bool = True
+    residual: bool = True
+    graph_axis: str = 'graph'
+    bn_axes: Optional[Tuple[str, ...]] = None   # e.g. ('data', 'graph')
+
+    @nn.compact
+    def __call__(self, graph: Graph, h, send_idx=None, send_mask=None,
+                 train: bool = False):
+        avg_d = self.avg_d or {'lin': 1.0, 'log': 1.0}
+        distributed = send_idx is not None
+        h = nn.Dense(self.hidden_dim, name='embedding_h')(h)
+        for i in range(self.n_layers):
+            last = i == self.n_layers - 1
+            table = None
+            if distributed:
+                halo = halo_exchange(h, send_idx, send_mask, self.graph_axis)
+                table = jnp.concatenate([h, halo], axis=0)
+            h = PNALayerFused(
+                out_dim=self.out_dim if last else self.hidden_dim,
+                aggregators=self.aggregators, scalers=self.scalers,
+                avg_d=avg_d, towers=self.towers, divide_input=True,
+                batch_norm=self.batch_norm, residual=self.residual,
+                bn_axis_name=self.bn_axes if distributed else None,
+                name=f'layer_{i}')(graph, h, train=train,
+                                   sender_table=table)
+        # masked mean readout over ALL real nodes of the (single) graph
+        m = graph.node_mask.astype(h.dtype)[:, None]
+        s = jnp.sum(h * m, axis=0)
+        c = jnp.sum(m)
+        if distributed:
+            s = jax.lax.psum(s, self.graph_axis)
+            c = jax.lax.psum(c, self.graph_axis)
+        hg = s / jnp.maximum(c, 1.0)
+        return MLPReadout(1, name='MLP_layer')(hg)[0]
+
+
+def _local_graph(nl, senders_l, receivers_l, edge_mask, node_mask):
+    # node_feats is a zero-width placeholder: layers receive h separately,
+    # but Graph.n_node_pad reads node_feats.shape[0].
+    return Graph(node_feats=jnp.zeros((nl, 0)), senders=senders_l,
+                 receivers=receivers_l,
+                 node_graph_ids=jnp.zeros((nl,), jnp.int32),
+                 node_mask=node_mask, edge_mask=edge_mask,
+                 graph_mask=jnp.ones((1,), bool))
+
+
+def full_graph(part: EdgePartition, senders: np.ndarray,
+               receivers: np.ndarray) -> Graph:
+    """Single-device oracle graph over the same padded node space [P*Nl]."""
+    P_, nl = part.num_parts, part.nodes_per_part
+    n_pad = P_ * nl
+    node_mask = part.node_mask.reshape(-1)
+    e_pad = max(-(-len(senders) // 8) * 8, 8)
+    s = np.zeros(e_pad, np.int32)
+    r = np.zeros(e_pad, np.int32)
+    s[:len(senders)] = senders
+    r[:len(receivers)] = receivers
+    em = np.zeros(e_pad, bool)
+    em[:len(senders)] = True
+    return Graph(node_feats=jnp.zeros((n_pad, 0)), senders=jnp.asarray(s),
+                 receivers=jnp.asarray(r),
+                 node_graph_ids=jnp.zeros((n_pad,), jnp.int32),
+                 node_mask=jnp.asarray(node_mask), edge_mask=jnp.asarray(em),
+                 graph_mask=jnp.ones((1,), bool))
 
 
 def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
-                                aggregators: Sequence[str] = ('mean', 'max',
-                                                              'min', 'std'),
-                                scalers: Sequence[str] = ('identity',
-                                                          'amplification',
-                                                          'attenuation'),
-                                avg_d=None,
-                                learning_rate: float = 1e-3):
-    """Returns (step_fn, put_consts) where
-    ``step_fn(params, opt_state, feats, targets) -> (params, opt_state, loss)``
-    with feats [DATA, GRAPH, Nl, F] sharded P('data', 'graph') and targets
-    [DATA] sharded P('data')."""
-    avg_d = avg_d or {'lin': 1.0, 'log': 1.0}
-    tx = optax.adam(learning_rate)
-    n_layers_holder = {}
+                                net: DistributedPNANet,
+                                learning_rate: float = 1e-3,
+                                tx: Optional[optax.GradientTransformation]
+                                = None):
+    """Returns (step_fn, put_consts, tx).
 
-    data_axis, graph_axis = 'data', 'graph'
+    ``step_fn(params, batch_stats, opt_state, feats, targets, *consts)
+    -> (params, batch_stats, opt_state, loss)`` with feats [D, G, Nl, F]
+    sharded P('data', 'graph') and targets [D] sharded P('data').  Params,
+    batch_stats and opt_state are replicated; gradients psum over both axes
+    via the loss pmean + shard_map transpose.
+    """
+    tx = tx if tx is not None else optax.adam(learning_rate)
+    data_axis, graph_axis = 'data', net.graph_axis
+    nl = part.nodes_per_part
 
-    def local_forward(params, feats, senders_l, receivers_l, edge_mask,
-                      send_idx, send_mask, node_mask):
-        """Runs on one device: feats [1, 1, Nl, F]; index tables [1, ...]."""
-        h = feats[0, 0]
-        nl = h.shape[0]
-        g = Graph(node_feats=h, senders=senders_l[0],
-                  receivers=receivers_l[0],
-                  node_graph_ids=jnp.zeros((nl,), jnp.int32),
-                  node_mask=node_mask[0], edge_mask=edge_mask[0],
-                  graph_mask=jnp.ones((1,), bool))
-        layers = [k for k in params if k.startswith('layer_')]
-        for l in range(len(layers)):
-            halo = halo_exchange(h, send_idx, send_mask, graph_axis)
-            ghost = jnp.concatenate([h, halo], axis=0)
-            msg = ghost[senders_l[0]]
-            agg = aggregate_bank(g, msg, list(aggregators), list(scalers),
-                                 avg_d)
-            p = params[f'layer_{l}']
-            h_new = jax.nn.relu(agg @ p['W'] + p['b'])
-            h = h_new if h.shape[-1] != h_new.shape[-1] else h + h_new
-        # graph readout: masked mean over ALL nodes => psum over graph axis
-        m = node_mask[0].astype(h.dtype)[:, None]
-        local_sum = jnp.sum(h * m, axis=0)
-        local_cnt = jnp.sum(m)
-        total_sum = jax.lax.psum(local_sum, graph_axis)
-        total_cnt = jax.lax.psum(local_cnt, graph_axis)
-        hg = total_sum / total_cnt
-        out = hg @ params['head']['W'] + params['head']['b']
-        return out[0]
-
-    def local_loss(params, feats, targets, *consts):
-        pred = local_forward(params, feats, *consts)
+    def local_loss(params, batch_stats, feats, targets, senders_l,
+                   receivers_l, edge_mask, send_idx, send_mask, node_mask):
+        # index tables are sharded over 'graph' only; mark them varying over
+        # 'data' too so mask-derived BN counts may psum over both axes
+        # (numerically a no-op — every data shard sees the same tables).
+        node_mask = jax.lax.pcast(node_mask, (data_axis,), to='varying')
+        g = _local_graph(nl, senders_l[0], receivers_l[0], edge_mask[0],
+                         node_mask[0])
+        pred, mutated = net.apply(
+            {'params': params, 'batch_stats': batch_stats},
+            g, feats[0, 0], send_idx, send_mask, train=True,
+            mutable=['batch_stats'])
         loss = (pred - targets[0]) ** 2
-        return jax.lax.pmean(loss, data_axis)
+        # pred is already invarying over 'graph' (readout psum), so only the
+        # data axis needs averaging; psum'd BN statistics are already
+        # identical on every device.
+        return jax.lax.pmean(loss, data_axis), mutated['batch_stats']
 
-    spec_dg = P(data_axis, graph_axis)
-    spec_g = P(None, *([graph_axis]))  # [1, ...] per-graph tables: see below
-
-    # index tables are stacked [P_graph, ...] -> shard over graph axis only
     table_spec = P(graph_axis)
 
-    def loss_fn(params, feats, targets, *consts):
+    def loss_fn(params, batch_stats, feats, targets, *consts):
         f = shard_map(
             local_loss, mesh=mesh,
-            in_specs=(P(),            # params replicated
-                      spec_dg,        # feats [D, G, Nl, F]
-                      P(data_axis),   # targets [D]
+            in_specs=(P(), P(),                  # params/stats replicated
+                      P(data_axis, graph_axis),  # feats [D, G, Nl, F]
+                      P(data_axis),               # targets [D]
                       *([table_spec] * 6)),
-            out_specs=P())
-        return f(params, feats, targets, *consts)
+            out_specs=(P(), P()))
+        return f(params, batch_stats, feats, targets, *consts)
 
     @jax.jit
-    def step(params, opt_state, feats, targets, *consts):
-        loss, grads = jax.value_and_grad(loss_fn)(params, feats, targets,
-                                                  *consts)
+    def step(params, batch_stats, opt_state, feats, targets, *consts):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, feats, targets,
+                                   *consts)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, new_stats, opt_state, loss
 
     def put_consts():
         s = lambda x: jax.device_put(jnp.asarray(x),
@@ -134,3 +183,14 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
                       part.send_idx, part.send_mask, part.node_mask))
 
     return step, put_consts, tx
+
+
+def init_net(net: DistributedPNANet, part: EdgePartition, feat_dim: int,
+             seed: int = 0):
+    """Initialize params/batch_stats on the single-device oracle graph (the
+    param tree is identical to the distributed one)."""
+    g = full_graph(part, np.zeros(1, np.int64), np.zeros(1, np.int64))
+    feats = jnp.zeros((part.num_parts * part.nodes_per_part, feat_dim))
+    variables = net.init({'params': jax.random.PRNGKey(seed)}, g, feats,
+                         train=False)
+    return variables['params'], variables.get('batch_stats', FrozenDict())

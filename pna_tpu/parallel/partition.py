@@ -56,71 +56,102 @@ class EdgePartition:
     node_mask: np.ndarray        # [P, Nl] bool — real (non-padding) nodes
 
 
+def _partition_indices_numpy(senders, receivers, nl, num_parts, n_nodes,
+                             el, h):
+    """Vectorized numpy twin of native/graph_ops.cpp:build_partition_indices.
+
+    Same layout contract: edges grouped by receiver-owner part, local-sender
+    edges first (original order within each group), ghost slots in
+    first-encounter order, remote sender index = nl + q*h + slot."""
+    P = num_parts
+    owner_r = receivers // nl
+    owner_s = senders // nl
+    remote = owner_s != owner_r
+    order = np.argsort(owner_r * 2 + remote, kind='stable')
+    s_o, r_o = senders[order], receivers[order]
+    p_o, q_o = owner_r[order], owner_s[order]
+    rem_o = q_o != p_o
+    counts = np.bincount(p_o, minlength=P)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(order)) - starts[p_o]
+
+    senders_local = np.zeros((P, el), dtype=np.int32)
+    receivers_local = np.zeros((P, el), dtype=np.int32)
+    edge_mask = np.zeros((P, el), dtype=bool)
+    receivers_local[p_o, pos] = (r_o - p_o * nl).astype(np.int32)
+    edge_mask[p_o, pos] = True
+    loc = ~rem_o
+    senders_local[p_o[loc], pos[loc]] = (s_o[loc] - q_o[loc] * nl
+                                         ).astype(np.int32)
+
+    send_idx = np.zeros((P, P, h), dtype=np.int32)
+    send_mask = np.zeros((P, P, h), dtype=bool)
+    ridx = np.nonzero(rem_o)[0]
+    if len(ridx):
+        # unique (dst_part, sender) pairs in first-encounter order
+        keys = p_o[ridx] * np.int64(n_nodes) + s_o[ridx]
+        uniq, first, inv = np.unique(keys, return_index=True,
+                                     return_inverse=True)
+        up = (uniq // n_nodes).astype(np.int64)
+        us = uniq % n_nodes
+        uq = us // nl
+        grp = uq * P + up
+        o2 = np.lexsort((first, grp))
+        grp_sorted = grp[o2]
+        slot_sorted = (np.arange(len(o2))
+                       - np.searchsorted(grp_sorted, grp_sorted, side='left'))
+        slot = np.empty(len(o2), dtype=np.int64)
+        slot[o2] = slot_sorted
+        send_idx[uq, up, slot] = (us - uq * nl).astype(np.int32)
+        send_mask[uq, up, slot] = True
+        ghost = (nl + uq * h + slot).astype(np.int32)
+        senders_local[p_o[ridx], pos[ridx]] = ghost[inv]
+    return senders_local, receivers_local, edge_mask, send_idx, send_mask
+
+
 def partition_edges(senders: np.ndarray, receivers: np.ndarray,
                     num_nodes: int, num_parts: int,
                     edge_pad_multiple: int = 8,
                     halo_pad_multiple: int = 8) -> EdgePartition:
     """Partition by contiguous node ranges; each edge lives on the part that
-    owns its receiver."""
-    senders = np.asarray(senders, dtype=np.int64)
-    receivers = np.asarray(receivers, dtype=np.int64)
+    owns its receiver.
+
+    O(E) end to end: sizes via the native ``partition_stats`` (C++), indices
+    via the native ``build_partition_indices``; a vectorized numpy twin covers
+    both when the toolchain is absent.  Built to survive the 10M-node /
+    100M-edge scaling config (BASELINE.json config 5)."""
+    from pna_tpu import native
+
+    senders = np.ascontiguousarray(senders, dtype=np.int64)
+    receivers = np.ascontiguousarray(receivers, dtype=np.int64)
+    num_parts = int(num_parts)
     nl = -(-num_nodes // num_parts)  # ceil
-    owner_r = receivers // nl
-    owner_s = senders // nl
 
-    # group edges by owner of receiver, local senders first (overlap-friendly)
-    edge_lists = []
-    for p in range(num_parts):
-        sel = np.nonzero(owner_r == p)[0]
-        local_first = np.argsort(owner_s[sel] != p, kind='stable')
-        edge_lists.append(sel[local_first])
-    el = max((len(e) for e in edge_lists), default=1)
+    stats = native.partition_stats(senders, receivers, nl, num_parts,
+                                   num_nodes)
+    if stats is not None:
+        edge_count, halo_count = stats
+        np.fill_diagonal(halo_count, 0)
+    else:
+        owner_r = receivers // nl
+        owner_s = senders // nl
+        edge_count = np.bincount(owner_r, minlength=num_parts)
+        rem = owner_s != owner_r
+        keys = np.unique(owner_r[rem] * np.int64(num_nodes) + senders[rem])
+        up, us = keys // num_nodes, keys % num_nodes
+        halo_count = np.zeros((num_parts, num_parts), dtype=np.int64)
+        np.add.at(halo_count, (us // nl, up), 1)
+    el = max(int(edge_count.max(initial=1)), 1)
     el = max(-(-el // edge_pad_multiple) * edge_pad_multiple, edge_pad_multiple)
-
-    # halo: for each (src_part q, dst_part p), unique sender nodes q must ship to p
-    send_lists: Dict[Tuple[int, int], np.ndarray] = {}
-    h = 1
-    for p in range(num_parts):
-        e = edge_lists[p]
-        s = senders[e]
-        remote = s[owner_s[e] != p]
-        for q in range(num_parts):
-            if q == p:
-                continue
-            nodes_q = np.unique(remote[(remote // nl) == q])
-            send_lists[(q, p)] = nodes_q
-            h = max(h, len(nodes_q))
+    h = max(int(halo_count.max(initial=1)), 1)
     h = max(-(-h // halo_pad_multiple) * halo_pad_multiple, halo_pad_multiple)
 
-    send_idx = np.zeros((num_parts, num_parts, h), dtype=np.int32)
-    send_mask = np.zeros((num_parts, num_parts, h), dtype=bool)
-    # ghost position lookup: for each p, map global node -> ghost index
-    ghost_pos = [dict() for _ in range(num_parts)]
-    for p in range(num_parts):
-        base = 0  # local nodes occupy [0, nl)
-        for q in range(num_parts):
-            if q == p:
-                continue
-            nodes_q = send_lists[(q, p)]
-            send_idx[q, p, :len(nodes_q)] = (nodes_q - q * nl).astype(np.int32)
-            send_mask[q, p, :len(nodes_q)] = True
-            for k, gnode in enumerate(nodes_q):
-                # after all_to_all, the block from q sits at [q*h, (q+1)*h)
-                ghost_pos[p][int(gnode)] = nl + q * h + k
-
-    senders_local = np.zeros((num_parts, el), dtype=np.int32)
-    receivers_local = np.zeros((num_parts, el), dtype=np.int32)
-    edge_mask = np.zeros((num_parts, el), dtype=bool)
-    for p in range(num_parts):
-        e = edge_lists[p]
-        for k, ei in enumerate(e):
-            s_g = int(senders[ei])
-            if s_g // nl == p:
-                senders_local[p, k] = s_g - p * nl
-            else:
-                senders_local[p, k] = ghost_pos[p][s_g]
-            receivers_local[p, k] = int(receivers[ei]) - p * nl
-        edge_mask[p, :len(e)] = True
+    built = native.build_partition_indices(senders, receivers, nl, num_parts,
+                                           num_nodes, el, h)
+    if built is None:
+        built = _partition_indices_numpy(senders, receivers, nl, num_parts,
+                                         num_nodes, el, h)
+    senders_local, receivers_local, edge_mask, send_idx, send_mask = built
 
     node_mask = np.zeros((num_parts, nl), dtype=bool)
     for p in range(num_parts):

@@ -1,5 +1,6 @@
-"""Distributed ('data' x 'graph' mesh) train step == single-device oracle:
-same loss and same updated parameters (bitwise-near)."""
+"""Distributed ('data' x 'graph' mesh) train step of the REAL flagship model
+(PNALayerFused stack: towers, split-kernel pretrans, masked BatchNorm,
+MLPReadout) == single-device oracle: same loss and same updated parameters."""
 
 import numpy as np
 import pytest
@@ -9,88 +10,91 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pna_tpu.graph import Graph
-from pna_tpu.nn.sparse import aggregate_bank
-from pna_tpu.parallel.distributed_net import (init_distributed_pna_params,
+from pna_tpu.parallel.distributed_net import (DistributedPNANet, full_graph,
+                                              init_net,
                                               make_distributed_train_step)
 from pna_tpu.parallel.partition import partition_edges, powerlaw_graph
 
 AGGS = ('mean', 'max', 'min', 'std')
 SCAL = ('identity', 'amplification', 'attenuation')
-AVG_D = {'lin': 1.0, 'log': 1.0}
+AVG_D = {'lin': 2.0, 'log': 1.1}
 
 
-def single_device_loss(params, feats_all, targets, send, recv, num_nodes):
-    """Oracle: same model math on the full graph, mean over data batches."""
-    n_pad = feats_all.shape[1]  # [D, N_pad, F]
-    g = Graph(node_feats=feats_all[0],
-              senders=jnp.asarray(send, jnp.int32),
-              receivers=jnp.asarray(recv, jnp.int32),
-              node_graph_ids=jnp.zeros((n_pad,), jnp.int32),
-              node_mask=jnp.arange(n_pad) < num_nodes,
-              edge_mask=jnp.ones((len(send),), bool),
-              graph_mask=jnp.ones((1,), bool))
-
-    def one(feats, target):
-        h = feats
-        layers = [k for k in params if k.startswith('layer_')]
-        for l in range(len(layers)):
-            msg = h[g.senders]
-            agg = aggregate_bank(g, msg, list(AGGS), list(SCAL), AVG_D)
-            p = params[f'layer_{l}']
-            h_new = jax.nn.relu(agg @ p['W'] + p['b'])
-            h = h_new if h.shape[-1] != h_new.shape[-1] else h + h_new
-        m = g.node_mask.astype(h.dtype)[:, None]
-        hg = jnp.sum(h * m, axis=0) / jnp.sum(m)
-        out = hg @ params['head']['W'] + params['head']['b']
-        return (out[0] - target) ** 2
-
-    losses = jax.vmap(one)(feats_all, targets)
-    return jnp.mean(losses)
-
-
-@pytest.mark.parametrize("d_data,d_graph", [(1, 4), (2, 2), (2, 4)])
-def test_distributed_step_matches_oracle(d_data, d_graph):
-    n = d_data * d_graph
-    if len(jax.devices()) < n:
-        pytest.skip("not enough devices")
-    num_nodes, num_edges, F, hidden = 48, 200, 6, 8
+def _setup(d_graph, batch_norm, hidden=8, towers=2, n_layers=2,
+           num_nodes=48, num_edges=200, F=6):
     send, recv = powerlaw_graph(num_nodes, num_edges, seed=2)
+    # drop duplicate (sender, receiver) pairs: duplicate edges carry
+    # identical messages, and min/max gradient tie-breaking then depends on
+    # edge order, which the partition legitimately permutes
+    pairs = np.unique(send * num_nodes + recv)
+    send, recv = pairs // num_nodes, pairs % num_nodes
     part = partition_edges(send, recv, num_nodes, d_graph)
-    nl = part.nodes_per_part
+    net = DistributedPNANet(hidden_dim=hidden, out_dim=hidden,
+                            n_layers=n_layers, towers=towers,
+                            aggregators=AGGS, scalers=SCAL, avg_d=AVG_D,
+                            batch_norm=batch_norm, residual=True,
+                            bn_axes=('data', 'graph'))
+    params, stats = init_net(net, part, F, seed=0)
+    g_full = full_graph(part, send, recv)
+    return send, recv, part, net, params, stats, g_full
 
-    mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(d_data, d_graph),
+
+def _oracle_step(net, params, stats, g_full, feats_all, targets, tx):
+    """Single-device loss/update: mean over data elements of the same module
+    applied with send_idx=None (identical param tree)."""
+
+    def loss_fn(p):
+        losses = []
+        new_stats = stats
+        for d in range(feats_all.shape[0]):
+            pred, mutated = net.apply(
+                {'params': p, 'batch_stats': stats}, g_full, feats_all[d],
+                None, None, train=True, mutable=['batch_stats'])
+            new_stats = mutated['batch_stats']
+            losses.append((pred - targets[d]) ** 2)
+        return jnp.mean(jnp.asarray(losses)), new_stats
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    return loss, optax.apply_updates(params, updates), new_stats
+
+
+@pytest.mark.parametrize("d_graph,batch_norm", [(4, True), (8, True)])
+def test_flagship_distributed_matches_oracle(d_graph, batch_norm):
+    """Graph-partitioned flagship (data axis = 1): loss, grads and BN
+    batch_stats all match the unpartitioned single-device run."""
+    if len(jax.devices()) < d_graph:
+        pytest.skip("not enough devices")
+    send, recv, part, net, params, stats, g_full = _setup(d_graph, batch_norm)
+    nl, F = part.nodes_per_part, 6
+    num_nodes = 48
+
+    mesh = Mesh(np.asarray(jax.devices()[:d_graph]).reshape(1, d_graph),
                 ('data', 'graph'))
+    # SGD, not Adam: updates stay linear in the gradients, so exactly-zero
+    # gradients (e.g. posttrans bias feeding straight into BatchNorm) do not
+    # get float-noise sign flips amplified to +-lr by Adam's normalization.
     step, put_consts, tx = make_distributed_train_step(
-        part, mesh, AGGS, SCAL, AVG_D, learning_rate=1e-2)
-
-    rng = jax.random.PRNGKey(0)
-    params = init_distributed_pna_params(rng, F, hidden, n_layers=2,
-                                         n_aggs=len(AGGS),
-                                         n_scalers=len(SCAL))
-    opt_state = tx.init(params)
-
+        part, mesh, net, tx=optax.sgd(1e-2))
     feats_np = np.random.RandomState(0).randn(
-        d_data, d_graph * nl, F).astype(np.float32)
+        1, d_graph * nl, F).astype(np.float32)
     feats_np[:, num_nodes:] = 0.0
-    targets_np = np.arange(d_data, dtype=np.float32)
+    targets_np = np.asarray([0.7], np.float32)
 
-    # oracle step
-    o_loss, o_grads = jax.value_and_grad(single_device_loss)(
-        params, jnp.asarray(feats_np), jnp.asarray(targets_np),
-        send, recv, num_nodes)
-    o_updates, _ = tx.update(o_grads, tx.init(params), params)
-    o_params = optax.apply_updates(params, o_updates)
+    o_loss, o_params, o_stats = _oracle_step(
+        net, params, stats, g_full, jnp.asarray(feats_np),
+        jnp.asarray(targets_np), tx)
 
-    # distributed step
     feats_sharded = jax.device_put(
-        jnp.asarray(feats_np.reshape(d_data, d_graph, nl, F)),
+        jnp.asarray(feats_np.reshape(1, d_graph, nl, F)),
         NamedSharding(mesh, P('data', 'graph')))
     targets = jax.device_put(jnp.asarray(targets_np),
                              NamedSharding(mesh, P('data')))
-    consts = put_consts()
-    new_params, _, loss = step(params, opt_state, feats_sharded, targets,
-                               *consts)
+    opt_state = tx.init(params)
+    new_params, new_stats, _, loss = step(params, stats, opt_state,
+                                          feats_sharded, targets,
+                                          *put_consts())
 
     np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-4)
     for path, a in jax.tree_util.tree_leaves_with_path(new_params):
@@ -98,5 +102,54 @@ def test_distributed_step_matches_oracle(d_data, d_graph):
         for k in path:
             b = b[k.key]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=2e-4,
-                                   err_msg=str(path))
+                                   rtol=2e-3, atol=2e-4, err_msg=str(path))
+    for path, a in jax.tree_util.tree_leaves_with_path(new_stats):
+        b = o_stats
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
+
+
+def test_flagship_data_and_graph_parallel():
+    """2x4 mesh (data x graph), batch_norm off so per-data-element oracle
+    semantics are well defined; loss and updated params match."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    d_data, d_graph = 2, 4
+    send, recv, part, net, params, stats, g_full = _setup(d_graph,
+                                                          batch_norm=False)
+    nl, F = part.nodes_per_part, 6
+    num_nodes = 48
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(d_data, d_graph),
+                ('data', 'graph'))
+    # SGD, not Adam: updates stay linear in the gradients, so exactly-zero
+    # gradients (e.g. posttrans bias feeding straight into BatchNorm) do not
+    # get float-noise sign flips amplified to +-lr by Adam's normalization.
+    step, put_consts, tx = make_distributed_train_step(
+        part, mesh, net, tx=optax.sgd(1e-2))
+    feats_np = np.random.RandomState(1).randn(
+        d_data, d_graph * nl, F).astype(np.float32)
+    feats_np[:, num_nodes:] = 0.0
+    targets_np = np.asarray([0.3, -1.1], np.float32)
+
+    o_loss, o_params, _ = _oracle_step(
+        net, params, stats, g_full, jnp.asarray(feats_np),
+        jnp.asarray(targets_np), tx)
+
+    feats_sharded = jax.device_put(
+        jnp.asarray(feats_np.reshape(d_data, d_graph, nl, F)),
+        NamedSharding(mesh, P('data', 'graph')))
+    targets = jax.device_put(jnp.asarray(targets_np),
+                             NamedSharding(mesh, P('data')))
+    new_params, _, _, loss = step(params, stats, tx.init(params),
+                                  feats_sharded, targets, *put_consts())
+
+    np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-4)
+    for path, a in jax.tree_util.tree_leaves_with_path(new_params):
+        b = o_params
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(path))

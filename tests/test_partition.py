@@ -53,6 +53,29 @@ def test_partition_matches_single_device(num_parts):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_native_and_numpy_builders_agree():
+    """The C++ build_partition_indices and its vectorized numpy twin must
+    produce identical layouts (same ghost slot assignment, same edge order)."""
+    from pna_tpu import native
+    from pna_tpu.parallel.partition import _partition_indices_numpy
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    send, recv = powerlaw_graph(200, 2000, seed=3)
+    num_parts, num_nodes = 4, 200
+    nl = -(-num_nodes // num_parts)
+    ec, hc = native.partition_stats(send, recv, nl, num_parts, num_nodes)
+    assert int(ec.sum()) == 2000
+    el = -(-int(ec.max()) // 8) * 8
+    h = -(-max(int(hc.max()), 1) // 8) * 8
+    nat = native.build_partition_indices(send, recv, nl, num_parts,
+                                         num_nodes, el, h)
+    ref = _partition_indices_numpy(send.astype(np.int64),
+                                   recv.astype(np.int64),
+                                   nl, num_parts, num_nodes, el, h)
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_partition_structure():
     send, recv = powerlaw_graph(40, 120, seed=0)
     part = partition_edges(send, recv, 40, 4)
