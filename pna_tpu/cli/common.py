@@ -39,6 +39,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--variable', action='store_true', default=False)
     p.add_argument('--data_parallel', action='store_true', default=False,
                    help='Shard bucket batches over all local devices.')
+    p.add_argument('--checkpoint_dir', type=str, default=None,
+                   help='directory for latest+best checkpoints (resume-able)')
+    p.add_argument('--resume', action='store_true', default=False,
+                   help='resume from checkpoint_dir/latest.ckpt')
     return p
 
 
@@ -77,7 +81,9 @@ def execute_train(gnn_args: dict, args) -> None:
                       loss=args.loss, only_nodes=args.only_nodes,
                       only_graph=args.only_graph, seed=args.seed,
                       print_every=args.print_every,
-                      data_parallel=args.data_parallel)
+                      data_parallel=args.data_parallel,
+                      checkpoint_dir=args.checkpoint_dir,
+                      resume=args.resume)
     trainer = MultitaskTrainer(model, data, cfg)
     state = trainer.fit()
     trainer.test(state)

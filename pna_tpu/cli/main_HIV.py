@@ -22,6 +22,10 @@ def main(argv=None):
         CONFIG_DIR, 'molecules_graph_classification_PNA_HIV.json'))
     p.add_argument('--data_dir', default='data/ogbg_molhiv')
     p.add_argument('--synthetic', action='store_true', default=False)
+    p.add_argument('--checkpoint_dir', type=str, default=None,
+                   help='directory for latest+best checkpoints (resume-able)')
+    p.add_argument('--resume', action='store_true', default=False,
+                   help='resume from checkpoint_dir/latest.ckpt')
     for flag, typ in [('seed', int), ('epochs', int), ('batch_size', int),
                       ('init_lr', float), ('lr_reduce_factor', float),
                       ('lr_schedule_patience', int), ('min_lr', float),
@@ -65,7 +69,8 @@ def main(argv=None):
         lr_reduce_factor=params['lr_reduce_factor'],
         lr_schedule_patience=params['lr_schedule_patience'],
         min_lr=params['min_lr'], weight_decay=params['weight_decay'],
-        max_time=params['max_time'], metric='roc_auc')
+        max_time=params['max_time'], metric='roc_auc',
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume)
 
     trainer = RealworldTrainer(
         model, PNANetHIV.loss, cfg,

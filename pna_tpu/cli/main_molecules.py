@@ -25,6 +25,10 @@ def add_override_flags(p: argparse.ArgumentParser):
     p.add_argument('--dataset', default=None)
     p.add_argument('--data_dir', default='data/molecules',
                    help='directory with {train,val,test}.pickle + .index')
+    p.add_argument('--checkpoint_dir', type=str, default=None,
+                   help='directory for latest+best checkpoints (resume-able)')
+    p.add_argument('--resume', action='store_true', default=False,
+                   help='resume from checkpoint_dir/latest.ckpt')
     p.add_argument('--synthetic', action='store_true', default=False,
                    help='use the synthetic ZINC-like dataset (no files needed)')
     for flag, typ in [('seed', int), ('epochs', int), ('batch_size', int),
@@ -94,7 +98,8 @@ def main(argv=None):
         lr_reduce_factor=params['lr_reduce_factor'],
         lr_schedule_patience=params['lr_schedule_patience'],
         min_lr=params['min_lr'], weight_decay=params['weight_decay'],
-        max_time=params['max_time'], metric='mae')
+        max_time=params['max_time'], metric='mae',
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume)
 
     def fwd(graph):
         if net['edge_feat']:

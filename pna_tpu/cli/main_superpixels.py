@@ -22,6 +22,10 @@ def main(argv=None):
         CONFIG_DIR, 'superpixels_graph_classification_pna_MNIST.json'))
     p.add_argument('--dataset', default=None, choices=[None, 'MNIST', 'CIFAR10'])
     p.add_argument('--data_dir', default='data/superpixels')
+    p.add_argument('--checkpoint_dir', type=str, default=None,
+                   help='directory for latest+best checkpoints (resume-able)')
+    p.add_argument('--resume', action='store_true', default=False,
+                   help='resume from checkpoint_dir/latest.ckpt')
     p.add_argument('--synthetic', action='store_true', default=False)
     for flag, typ in [('seed', int), ('epochs', int), ('batch_size', int),
                       ('init_lr', float), ('lr_reduce_factor', float),
@@ -81,7 +85,8 @@ def main(argv=None):
         lr_reduce_factor=params['lr_reduce_factor'],
         lr_schedule_patience=params['lr_schedule_patience'],
         min_lr=params['min_lr'], weight_decay=params['weight_decay'],
-        max_time=params['max_time'], metric='accuracy')
+        max_time=params['max_time'], metric='accuracy',
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume)
 
     def fwd(graph):
         if net['edge_feat']:

@@ -48,6 +48,13 @@ class TrainConfig:
     # hard wall-clock stop, like the realworld max_time flag
     # (realworld_benchmark/main_molecules.py:158-162); None = unlimited
     max_time_s: Optional[float] = None
+    # checkpoint-restart (TPU-native addition; the reference only rotates
+    # best state_dicts and cannot resume, util/train.py:207-218): 'latest'
+    # checkpoint every checkpoint_every epochs + rotated best; resume=True
+    # restores 'latest' and continues exactly.
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+    checkpoint_every: int = 50
 
 
 class MultitaskTrainer:
@@ -181,8 +188,28 @@ class MultitaskTrainer:
         best_stats = None
         best_epoch = -1
         bad = 0
+        start_epoch = 0
+        manager = None
+        if cfg.checkpoint_dir:
+            from pna_tpu.utils.checkpoint import CheckpointManager
+            manager = CheckpointManager(cfg.checkpoint_dir, mode='min')
+            if cfg.resume:
+                ck, meta = manager.restore_latest()
+                if ck is not None:
+                    for k in ('params', 'batch_stats', 'opt_state', 'rng'):
+                        state[k] = jax.tree_util.tree_map(jnp.asarray, ck[k])
+                    best = meta['best']
+                    best_epoch = meta['best_epoch']
+                    bad = meta['bad']
+                    start_epoch = meta['epoch'] + 1
+                    b, _ = manager.restore_best()
+                    if b is not None:
+                        best_params = b['params']
+                        best_stats = b['batch_stats']
+                    log_fn(f"Resumed from epoch {meta['epoch']} "
+                           f"(best {best:.4f} @{best_epoch})")
         t0 = time.time()
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loss_train = self.train_epoch(state)
             loss_val, _ = self.evaluate(state, 'val')
             if logger:
@@ -199,8 +226,19 @@ class MultitaskTrainer:
                         pickle.dump(dict(params=best_params,
                                          batch_stats=best_stats,
                                          epoch=epoch, val_loss=best), f)
+                if manager:
+                    manager.save_best(dict(params=best_params,
+                                           batch_stats=best_stats),
+                                      metric=loss_val, epoch=epoch)
             else:
                 bad += 1
+            if manager and ((epoch + 1) % cfg.checkpoint_every == 0
+                            or epoch + 1 == epochs):
+                manager.save_latest(
+                    dict(params=state['params'],
+                         batch_stats=state['batch_stats'],
+                         opt_state=state['opt_state'], rng=state['rng']),
+                    epoch=epoch, best=best, best_epoch=best_epoch, bad=bad)
             if epoch % cfg.print_every == 0:
                 log_fn(f"epoch {epoch}: loss.train {loss_train:.4f} "
                        f"loss.val {loss_val:.4f} (best {best:.4f} "

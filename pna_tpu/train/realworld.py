@@ -28,26 +28,48 @@ from pna_tpu.train import metrics as M
 
 class ReduceLROnPlateau:
     """torch.optim.lr_scheduler.ReduceLROnPlateau (mode='min') equivalent
-    (used at main_molecules.py:107-111)."""
+    (used at main_molecules.py:107-111), including torch's default
+    ``threshold`` (1e-4, relative: an epoch only counts as an improvement if
+    metric < best * (1 - threshold)) and ``cooldown`` (epochs after a
+    reduction during which bad epochs do not accumulate) — the reference runs
+    with torch defaults, and these change LR trajectories on long runs."""
 
     def __init__(self, lr: float, factor: float = 0.5, patience: int = 10,
-                 min_lr: float = 0.0):
+                 min_lr: float = 0.0, threshold: float = 1e-4,
+                 cooldown: int = 0):
         self.lr = lr
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
+        self.cooldown = cooldown
         self.best = float('inf')
         self.bad = 0
+        self.cooldown_counter = 0
+
+    def state_dict(self) -> dict:
+        return dict(lr=self.lr, best=self.best, bad=self.bad,
+                    cooldown_counter=self.cooldown_counter)
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = d['lr']
+        self.best = d['best']
+        self.bad = d['bad']
+        self.cooldown_counter = d['cooldown_counter']
 
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad = 0
         else:
             self.bad += 1
-            if self.bad > self.patience:
-                self.lr = max(self.lr * self.factor, self.min_lr)
-                self.bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad = 0
+        if self.bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.cooldown_counter = self.cooldown
+            self.bad = 0
         return self.lr
 
 
@@ -68,6 +90,13 @@ class PipelineConfig:
     checkpoint_path: Optional[str] = None
     metric: str = 'mae'  # 'mae' | 'accuracy' | 'roc_auc'
     metrics_path: Optional[str] = None  # JSONL per-epoch metrics
+    # checkpoint-restart (TPU-native addition; the reference never resumes,
+    # multitask_benchmark/util/train.py:207-218): a CheckpointManager
+    # directory gets a 'latest' checkpoint every epoch (params, opt state,
+    # PRNG, scheduler, epoch) and a rotated best checkpoint; resume=True
+    # restores 'latest' and continues the run exactly.
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
 
 
 def make_optimizer(cfg: PipelineConfig):
@@ -208,8 +237,36 @@ class RealworldTrainer:
         history = []
         best_val = float('inf') if select_best == 'min' else -float('inf')
         best = None
+        start_epoch = 0
+        manager = None
+        if cfg.checkpoint_dir:
+            from pna_tpu.utils.checkpoint import CheckpointManager
+            manager = CheckpointManager(cfg.checkpoint_dir, mode=select_best)
+            if cfg.resume:
+                ck, meta = manager.restore_latest()
+                if ck is not None:
+                    state['params'] = ck['params']
+                    state['batch_stats'] = ck['batch_stats']
+                    state['opt_state'] = jax.tree_util.tree_map(
+                        jnp.asarray, ck['opt_state'],
+                        is_leaf=lambda x: x is None)
+                    state['rng'] = jnp.asarray(ck['rng'])
+                    scheduler.load_state_dict(meta['scheduler'])
+                    state['opt_state'].hyperparams['learning_rate'] = \
+                        jnp.asarray(scheduler.lr)
+                    best_val = meta['best_val']
+                    start_epoch = meta['epoch'] + 1
+                    b, bmeta = manager.restore_best()
+                    if b is not None:
+                        best = dict(epoch=bmeta['epoch'],
+                                    val_metric=bmeta['metric'],
+                                    test_metric=bmeta.get('test_metric'),
+                                    params=b['params'],
+                                    batch_stats=b['batch_stats'])
+                    log_fn(f"Resumed from epoch {meta['epoch']} "
+                           f"(lr {scheduler.lr:.2e}, best_val {best_val:.4f})")
         t0 = time.time()
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             tl, tm = self.run_epoch(state, dataset.train, True, cfg.seed + epoch)
             vl, vm = self.run_epoch(state, dataset.val, False, 0)
             _, test_m = self.run_epoch(state, dataset.test, False, 0)
@@ -229,10 +286,22 @@ class RealworldTrainer:
                 if cfg.checkpoint_path:
                     with open(cfg.checkpoint_path, 'wb') as f:
                         pickle.dump({k: v for k, v in best.items()}, f)
+                if manager:
+                    manager.save_best(dict(params=best['params'],
+                                           batch_stats=best['batch_stats']),
+                                      metric=vm, epoch=epoch,
+                                      test_metric=test_m)
             log_fn(f"epoch {epoch}: train_loss {tl:.4f} val_metric {vm:.4f} "
                    f"test_metric {test_m:.4f} lr {scheduler.lr:.2e}")
             new_lr = scheduler.step(vl)
             state['opt_state'].hyperparams['learning_rate'] = jnp.asarray(new_lr)
+            if manager:
+                manager.save_latest(
+                    dict(params=state['params'],
+                         batch_stats=state['batch_stats'],
+                         opt_state=state['opt_state'], rng=state['rng']),
+                    epoch=epoch, scheduler=scheduler.state_dict(),
+                    best_val=best_val)
             if new_lr <= cfg.min_lr:
                 log_fn("LR below min_lr, stopping (main_molecules.py:154-156)")
                 break
