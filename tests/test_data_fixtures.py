@@ -1,0 +1,122 @@
+"""Real-file dataset loaders exercised against generated fixtures in the
+exact on-disk formats that data/download_datasets.sh fetches (egress is
+unavailable in CI, so the parsers are proven on byte-compatible fixtures):
+
+* ZINC: per-split ``{split}.pickle`` of molecule dicts with torch tensors +
+  ``.index`` CSV (reference reads the same files,
+  realworld_benchmark/data/molecules.py:19-27);
+* superpixels: ``mnist_75sp_{split}.pkl`` = pickle of (labels, sp_data)
+  (reference: realworld_benchmark/data/superpixels.py:91-103);
+* OGB MolHIV: raw ``*.csv.gz`` + scaffold split indices.
+"""
+
+import csv
+import gzip
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+def test_zinc_real_pickle_loader(tmp_path):
+    torch = pytest.importorskip('torch')
+    from pna_tpu.data.molecules import ZincDataset, collate_records
+
+    rng = np.random.RandomState(0)
+    mols = []
+    for i in range(6):
+        n = rng.randint(6, 12)
+        bond = np.zeros((n, n), np.int64)
+        for v in range(1, n):
+            u = rng.randint(0, v)
+            bond[u, v] = bond[v, u] = rng.randint(1, 4)
+        mols.append({'num_atom': n,
+                     'atom_type': torch.tensor(rng.randint(0, 28, n)),
+                     'bond_type': torch.tensor(bond),
+                     'logP_SA_cycle_normalized': torch.tensor(rng.randn())})
+    for split, take in (('train', [0, 1, 2]), ('val', [3, 4]), ('test', [5])):
+        with open(tmp_path / f'{split}.pickle', 'wb') as f:
+            pickle.dump(mols, f)
+        with open(tmp_path / f'{split}.index', 'w') as f:
+            csv.writer(f).writerow(take)
+
+    ds = ZincDataset.from_dir(str(tmp_path))
+    assert len(ds.train) == 3 and len(ds.val) == 2 and len(ds.test) == 1
+    rec = ds.train[0]
+    assert rec['node_feats'].shape[1] == 1
+    assert rec['senders'].shape == rec['receivers'].shape
+    np.testing.assert_allclose(rec['label'],
+                               float(mols[0]['logP_SA_cycle_normalized']))
+    graph, labels = collate_records(ds.train, with_snorm=True)
+    assert graph.snorm_n is not None and len(labels) >= 3
+    assert ds.avg_d()['log'] > 0
+
+
+def test_superpixels_real_pickle_loader(tmp_path):
+    from pna_tpu.data.superpixels import SuperpixelsDataset
+
+    rng = np.random.RandomState(1)
+    def make_split(n):
+        labels = rng.randint(0, 10, n).astype(np.int64)
+        sp_data = [(rng.rand(rng.randint(8, 14), 1).astype(np.float32),
+                    (rng.rand(sp, 2) * 28).astype(np.float32))
+                   for sp in [rng.randint(8, 14) for _ in range(n)]]
+        # coord rows must match mean_px rows
+        sp_data = [(px, (rng.rand(len(px), 2) * 28).astype(np.float32))
+                   for px, _ in sp_data]
+        return labels, sp_data
+
+    for split, n in (('train', 8), ('test', 4)):
+        with open(tmp_path / f'mnist_75sp_{split}.pkl', 'wb') as f:
+            pickle.dump(make_split(n), f)
+
+    ds = SuperpixelsDataset.from_dir(str(tmp_path), 'MNIST', val_fraction=3)
+    assert len(ds.train) == 5 and len(ds.val) == 3 and len(ds.test) == 4
+    rec = ds.test[0]
+    # node feat = [mean_px, coord] (superpixels.py:node feats)
+    assert rec['node_feats'].shape[1] == 3
+    assert rec['edge_feats'].ndim == 2
+    assert 0 <= rec['label'] < 10
+
+
+def test_molhiv_raw_csv_loader(tmp_path):
+    from pna_tpu.data.hiv import HIVDataset
+
+    rng = np.random.RandomState(2)
+    raw = tmp_path / 'raw'
+    split = tmp_path / 'split' / 'scaffold'
+    os.makedirs(raw)
+    os.makedirs(split)
+
+    def wgz(path, rows):
+        with gzip.open(path, 'wt', newline='') as f:
+            csv.writer(f).writerows(rows)
+
+    n_graphs, node_rows, edge_rows, nn, ne, ys = 8, [], [], [], [], []
+    for g in range(n_graphs):
+        n = rng.randint(6, 12)
+        e = 2 * (n - 1)
+        nn.append([n])
+        ne.append([e])
+        ys.append([int(rng.rand() > 0.5)])
+        for _ in range(n):
+            node_rows.append(list(rng.randint(0, 5, 9)))
+        for v in range(1, n):
+            u = rng.randint(0, v)
+            edge_rows.append([u, v])
+            edge_rows.append([v, u])
+    wgz(raw / 'edge.csv.gz', edge_rows)
+    wgz(raw / 'node-feat.csv.gz', node_rows)
+    wgz(raw / 'num-node-list.csv.gz', nn)
+    wgz(raw / 'num-edge-list.csv.gz', ne)
+    wgz(raw / 'graph-label.csv.gz', ys)
+    wgz(split / 'train.csv.gz', [[i] for i in range(5)])
+    wgz(split / 'valid.csv.gz', [[5], [6]])
+    wgz(split / 'test.csv.gz', [[7]])
+
+    ds = HIVDataset.from_ogb_dir(str(tmp_path))
+    assert len(ds.train) == 5 and len(ds.val) == 2 and len(ds.test) == 1
+    rec = ds.train[0]
+    assert rec['node_feats'].shape[1] == 9
+    assert rec['label'] in (0, 1)

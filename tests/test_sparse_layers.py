@@ -245,3 +245,78 @@ def test_readouts():
                                np.stack(expect_mean), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(max_nodes(g, h))[:3],
                                np.stack(expect_max), rtol=1e-5, atol=1e-5)
+
+
+def test_pna_layer_fused_matches_dgl_oracle_with_edges():
+    """Direct weight-port parity of PNALayerFused (the production layer)
+    against the DGL tower math oracle — edge features, towers, divide_input,
+    graph_norm, batch_norm, residual all on.  Locks the (src, dst, ef)
+    concat order and mailbox-degree scaler semantics
+    (models/dgl/pna_layer.py:37-47) end-to-end through the fused kernels."""
+    add_reference_to_path()
+    import torch
+    from models.layers import MLP as RefMLP, FCLayer as RefFC
+    from pna_tpu.nn.fused import PNALayerFused
+
+    n, F, T, edge_dim = 10, 8, 2, 4
+    Ft = F // T
+    adj, send, recv = random_graph_np(n, 7)
+    rng = np.random.RandomState(11)
+    h = rng.randn(n, F).astype(np.float32)
+    ef = rng.randn(len(send), edge_dim).astype(np.float32)
+    snorm = np.full((n, 1), np.sqrt(1.0 / n), np.float32)
+
+    torch.manual_seed(4)
+    towers = []
+    for _ in range(T):
+        pre = RefMLP(in_size=2 * Ft + edge_dim, hidden_size=Ft, out_size=Ft,
+                     layers=2, mid_activation='relu', last_activation='none')
+        post = RefMLP(in_size=(len(AGGS) * len(SCAL) + 1) * Ft,
+                      hidden_size=Ft, out_size=Ft, layers=2,
+                      mid_activation='relu', last_activation='none')
+        bn = torch.nn.BatchNorm1d(Ft)
+        with torch.no_grad():
+            bn.running_mean.normal_(0.0, 0.1)
+            bn.running_var.uniform_(0.5, 1.5)
+            bn.weight.normal_(1.0, 0.1)
+            bn.bias.normal_(0.0, 0.1)
+        pre.eval(); post.eval(); bn.eval()
+        towers.append((pre, post, bn))
+    mixing = RefFC(F, F, activation='LeakyReLU')
+    mixing.eval()
+
+    with torch.no_grad():
+        outs = []
+        for t, (pre, post, bn) in enumerate(towers):
+            ht = h[:, t * Ft:(t + 1) * Ft]
+            outs.append(dgl_tower_oracle((pre, post, bn), ht, ef, send, recv,
+                                         n, AGGS, SCAL, snorm_n=snorm))
+        mixed = mixing(torch.cat(outs, dim=1))
+        ref = (torch.tensor(h) + mixed).numpy()  # residual (in == out)
+
+    # port reference weights -> sparse param layout -> fused stacked layout
+    from tests.test_fused_layer import port_sparse_to_fused, port_stats
+    sparse_params, sparse_stats = {}, {}
+    for t, (pre, post, bn) in enumerate(towers):
+        p_pre, _ = port_mlp(pre)
+        p_post, _ = port_mlp(post)
+        bn_p, bn_s = port_batchnorm(bn)
+        sparse_params[f'tower_{t}'] = {'pretrans': p_pre, 'posttrans': p_post,
+                                       'batchnorm_h': bn_p}
+        sparse_stats[f'tower_{t}'] = {'batchnorm_h': bn_s}
+    p_mix, _ = port_fclayer(mixing)
+    sparse_params['mixing'] = p_mix
+    fused_params = port_sparse_to_fused(sparse_params, T, True)
+    fused_stats = port_stats(sparse_stats, T)
+
+    g = batch_graphs([dict(node_feats=h, senders=send, receivers=recv,
+                           edge_feats=ef)], with_snorm=True)
+    mod = PNALayerFused(out_dim=F, aggregators=AGGS, scalers=SCAL,
+                        avg_d=AVG_D, towers=T, pretrans_layers=2,
+                        posttrans_layers=2, divide_input=True, residual=True,
+                        graph_norm=True, batch_norm=True, edge_features=True)
+    out_j = mod.apply({'params': fused_params, 'batch_stats': fused_stats},
+                      g, jnp.asarray(np.asarray(g.node_feats)),
+                      jnp.asarray(np.asarray(g.edge_feats)), train=False)
+    np.testing.assert_allclose(np.asarray(out_j)[:n], ref,
+                               rtol=2e-3, atol=5e-4)
