@@ -1,24 +1,62 @@
 """Benchmark harness — prints ONE JSON line with the headline metric:
-edges/sec/chip of a full PNA (ZINC-config) training step on a synthetic
-molecular batch.
+edges/sec/chip of a full PNA training step in the reference's headline ZINC
+configuration (edge features ON — the 0.188-MAE recipe of
+realworld_benchmark/README.md:62: L=4, hidden 70, out 60, edge_dim 50,
+towers 5, mean/max/min/std x identity/amplification/attenuation, graph- and
+batch-norm, residual), measured compute-bound (1024-graph batch) in bf16
+with f32 accumulation.
+
+"edges/sec" counts message-layer traversals: real_edges x n_layers / step
+time — the throughput of the aggregation kernel the framework exists for.
+
+Alongside the headline the JSON carries a ``detail`` dict with both dtypes'
+step time, XLA-counted FLOPs per step (exact) and bytes per step (an upper
+bound — XLA counts fused intermediates), an MXU utilization from the flop
+count, and the byte-bound roofline: when ``bw_bound_frac`` is ~1 the step is
+running at the HBM roofline of the XLA byte bound (measured on v5e: the
+bound alone implies more time than the step takes, i.e. the true traffic is
+below the bound and the kernel is bandwidth-saturated).
 
 The reference publishes no throughput numbers (BASELINE.md: "published": {});
-``vs_baseline`` is therefore reported relative to the first recorded value of
-this harness (stored in benchmarks/baseline_value.json when first run on TPU).
+``vs_baseline`` is therefore reported relative to the first value this
+harness ever recorded on TPU (benchmarks/baseline_value.json, round 1:
+1.58M edges/s on the no-edge-feat f32 latency-bound config — the honest
+reading of vs_baseline is "self-improvement of the framework's fast path").
+
+Flags: --kernel {auto,bucketed,ell,pallas,generic} picks the aggregation
+backend (pna_tpu/nn/fused.py), --batch scales the graph batch, --dtype
+restricts measurement to one dtype.
 """
 
+import argparse
 import json
 import os
-import sys
 import time
+from functools import partial
 
 import numpy as np
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_value.json")
 
+# per-chip peak dense-matmul FLOP/s (bf16, f32 accumulate) and HBM bytes/s
+PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v5": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6e": (918e12, 1640e9),
+    "TPU v3": (123e12, 900e9),
+    "TPU v2": (45e12, 700e9),
+}
 
-def build_bench(batch_graphs_n=256, seed=0):
+N_LAYERS = 4
+
+
+def build_bench(batch_graphs_n=1024, seed=0, edge_feat=True,
+                compute_dtype=None, kernel="auto"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -27,28 +65,47 @@ def build_bench(batch_graphs_n=256, seed=0):
 
     ds = ZincDataset.synthetic(n_train=batch_graphs_n, n_val=1, n_test=1,
                                seed=seed)
-    # degree-bucketed static layout: gather/scatter-free aggregation path
+    # layout per backend: the degree-bucketed static layout (gather/scatter-
+    # free) for auto/bucketed; receiver-sorted edges (CSR edge_ptr) for the
+    # Pallas moment-sketch kernel and the ELL/generic paths.
+    bucket = kernel in ("auto", "bucketed")
     graph, labels = collate_records(ds.train, with_snorm=True,
-                                    bucket_by_degree=True)
+                                    bucket_by_degree=bucket)
     avg_d = ds.avg_d()
     n_edges = int(np.asarray(graph.edge_mask).sum())
+    n_nodes = int(np.asarray(graph.node_mask).sum())
+    max_deg = int(np.asarray(graph.in_deg).max()) if graph.in_deg is not None \
+        else 32
+
+    if edge_feat:
+        # reference headline ZINC recipe (README.md:62): 0.188 +/- 0.004 MAE
+        net_kw = dict(hidden_dim=70, out_dim=60, edge_dim=50, edge_feat=True,
+                      divide_input_first=True, divide_input_last=True)
+    else:
+        # no-edge-feat recipe (README.md:61): 0.320 MAE
+        net_kw = dict(hidden_dim=75, out_dim=70, edge_dim=0, edge_feat=False,
+                      divide_input_first=False, divide_input_last=True)
 
     model = PNANetMolecules(
         num_atom_type=ds.num_atom_type, num_bond_type=ds.num_bond_type,
-        hidden_dim=75, out_dim=70, n_layers=4,
+        n_layers=N_LAYERS,
         aggregators=('mean', 'max', 'min', 'std'),
         scalers=('identity', 'amplification', 'attenuation'),
         avg_d=avg_d, readout_type='sum', towers=5,
-        divide_input_first=False, divide_input_last=True,
-        graph_norm=True, batch_norm=True, residual=True, edge_feat=False)
+        graph_norm=True, batch_norm=True, residual=True,
+        compute_dtype=compute_dtype, kernel=kernel, max_degree=max_deg,
+        **net_kw)
 
     # materialize the batch on device once — the step must not re-upload
     # host arrays through the transfer path every iteration
     graph = jax.device_put(graph)
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init({'params': rng}, graph,
-                           graph.node_feats.squeeze(-1), None, train=False)
+    e_idx = graph.edge_feats.squeeze(-1) if edge_feat else None
+    # jit the init: eagerly it dispatches thousands of ops one-by-one
+    # through the device tunnel (~minutes); jitted it is one program
+    variables = jax.jit(partial(model.init, train=False))(
+        {'params': rng}, graph, graph.node_feats.squeeze(-1), e_idx)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     tx = optax.adam(1e-3)
@@ -60,7 +117,9 @@ def build_bench(batch_graphs_n=256, seed=0):
         def loss_fn(p):
             out, mutated = model.apply(
                 {'params': p, 'batch_stats': batch_stats}, graph,
-                graph.node_feats.squeeze(-1), None, train=True,
+                graph.node_feats.squeeze(-1),
+                graph.edge_feats.squeeze(-1) if edge_feat else None,
+                train=True,
                 rngs={'dropout': jax.random.PRNGKey(0)},
                 mutable=['batch_stats'])
             l = PNANetMolecules.loss(out, labels, graph.graph_mask)
@@ -71,32 +130,101 @@ def build_bench(batch_graphs_n=256, seed=0):
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, l
 
-    def run_once(state):
-        params, batch_stats, opt_state = state
-        params, batch_stats, opt_state, l = train_step(
-            params, batch_stats, opt_state, graph, labels_j)
-        return (params, batch_stats, opt_state), l
+    state = (params, batch_stats, opt_state)
+    args = (params, batch_stats, opt_state, graph, labels_j)
+    return train_step, state, (graph, labels_j), n_edges, n_nodes, args
 
-    return run_once, (params, batch_stats, opt_state), n_edges
+
+def run_config(batch, edge_feat, compute_dtype, kernel, n_iters):
+    import jax
+    train_step, state, dev_batch, n_edges, n_nodes, args = build_bench(
+        batch_graphs_n=batch, edge_feat=edge_feat,
+        compute_dtype=compute_dtype, kernel=kernel)
+    # compile ONCE (AOT) and reuse the executable for cost analysis + timing
+    compiled = train_step.lower(*args).compile()
+    flops, hbm_bytes = 0.0, 0.0
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
+    graph, labels = dev_batch
+    params, batch_stats, opt_state = state
+    # warmup
+    params, batch_stats, opt_state, l = compiled(
+        params, batch_stats, opt_state, graph, labels)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, batch_stats, opt_state, l = compiled(
+            params, batch_stats, opt_state, graph, labels)
+    jax.block_until_ready(l)
+    dt = (time.perf_counter() - t0) / n_iters
+    return dict(step_ms=dt * 1e3, n_edges=n_edges, n_nodes=n_nodes,
+                edges_per_sec=n_edges * N_LAYERS / dt,
+                flops_per_step=flops, hbm_bytes_per_step=hbm_bytes, dt=dt)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--kernel", default="auto",
+                    choices=["auto", "bucketed", "ell", "pallas", "generic"])
+    ap.add_argument("--dtype", default="both", choices=["both", "f32", "bf16"])
+    ap.add_argument("--no_edge_feat", action="store_true")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
     import jax
+    import jax.numpy as jnp
 
-    run_once, state, n_edges = build_bench()
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw = PEAKS.get(kind, (197e12, 819e9))
+    edge_feat = not args.no_edge_feat
 
-    # warmup / compile
-    state, l = run_once(state)
-    jax.block_until_ready(l)
+    detail = {"device": kind, "batch_graphs": args.batch,
+              "kernel": args.kernel, "edge_feat": edge_feat,
+              "config": "ZINC headline (L=4, hidden 70, out 60, edge_dim 50,"
+                        " towers 5)" if edge_feat else
+                        "ZINC no-edge-feat (L=4, hidden 75, out 70, towers 5)"}
+    results = {}
+    for name, cdt in (("f32", None), ("bf16", jnp.bfloat16)):
+        if args.dtype != "both" and args.dtype != name:
+            continue
+        r = run_config(args.batch, edge_feat, cdt, args.kernel, args.iters)
+        entry = {"step_ms": round(r["step_ms"], 3),
+                 "edges_per_sec": round(r["edges_per_sec"], 1)}
+        if r["flops_per_step"]:
+            # XLA cost analysis counts every op's operand bytes, including
+            # fused intermediates that never reach HBM — so its byte count is
+            # an UPPER BOUND on real traffic.  When that bound alone implies
+            # a step time above the measured one, the kernel is running at
+            # (or beyond) the bound's roofline: report the bound, the
+            # bandwidth-implied ceiling on real traffic (peak_bw * step), and
+            # an MFU from the (exact) flop count.
+            bw_bound_ms = r["hbm_bytes_per_step"] / peak_bw * 1e3
+            entry.update({
+                "tflops_per_step": round(r["flops_per_step"] / 1e12, 4),
+                "mxu_util": round(
+                    r["flops_per_step"] / r["dt"] / peak_flops, 4),
+                "xla_bytes_gb_upper_bound": round(
+                    r["hbm_bytes_per_step"] / 1e9, 4),
+                "xla_bytes_roofline_ms": round(bw_bound_ms, 3),
+                "real_bytes_ceiling_gb": round(peak_bw * r["dt"] / 1e9, 4),
+                "bw_bound_frac": round(
+                    min(bw_bound_ms / r["step_ms"], 1.0), 4),
+            })
+        results[name] = entry
+        detail["n_edges"] = r["n_edges"]
+        detail["n_nodes"] = r["n_nodes"]
+    detail["results"] = results
 
-    n_iters = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, l = run_once(state)
-    jax.block_until_ready(l)
-    dt = time.perf_counter() - t0
-
-    edges_per_sec = n_edges * 4 * n_iters / dt  # 4 PNA layers per step
+    head = results.get("bf16") or results["f32"]
+    edges_per_sec = head["edges_per_sec"]
 
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -121,8 +249,11 @@ def main():
         "value": round(edges_per_sec, 1),
         "unit": "edges/sec",
         "vs_baseline": round(vs, 4),
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
     main()
+
+

@@ -6,6 +6,7 @@ from pna_tpu.nn.layers import (FCLayer, GRUUpdate, MLP, MLPReadout, S2SReadout,
                                Set2Set)
 from pna_tpu.nn.nets import (AtomEncoder, BondEncoder, PNANetHIV,
                              PNANetMolecules, PNANetSuperpixels)
+from pna_tpu.nn.pyg import PNAConvPyG, PNAConvSimplePyG, PNANetPyGExample
 from pna_tpu.nn.sparse import (GATLayerSparse, GCNLayerSparse, GINLayerSparse,
                                PNALayerSparse, PNASimpleLayerSparse,
                                PNATowerSparse, aggregate_bank)
@@ -17,5 +18,5 @@ __all__ = [
     "AtomEncoder", "BondEncoder", "PNANetHIV", "PNANetMolecules",
     "PNANetSuperpixels", "GATLayerSparse", "GCNLayerSparse", "GINLayerSparse",
     "PNALayerSparse", "PNASimpleLayerSparse", "PNATowerSparse",
-    "aggregate_bank",
+    "aggregate_bank", "PNAConvPyG", "PNAConvSimplePyG", "PNANetPyGExample",
 ]

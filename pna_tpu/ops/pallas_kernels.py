@@ -102,10 +102,10 @@ def _sketch_kernel(with_ties, scan_steps,
         onehot = ((abs_e >= lo_col) & (abs_e < hi_col)).astype(jnp.float32)
         s_acc = s_acc + jnp.dot(onehot, m,
                                 preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         sq_acc = sq_acc + jnp.dot(onehot, m * m,
                                   preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
 
         # segmented max/min scan over the chunk's sublanes.  Segment ids per
         # edge row: count of segment starts at or before the edge (column
@@ -132,9 +132,9 @@ def _sketch_kernel(with_ties, scan_steps,
                 > jnp.maximum(lo_col, e0)) & (lo_col < hi_col))
         sel = ((lane_e == last) & has).astype(jnp.float32)  # [TILE_N, TILE_E]
         part_mx = jnp.dot(sel, x_mx, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         part_mn = jnp.dot(sel, x_mn, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         mx_acc = jnp.maximum(mx_acc, jnp.where(has, part_mx, NEG))
         mn_acc = jnp.minimum(mn_acc, jnp.where(has, part_mn, -NEG))
         return s_acc, sq_acc, mx_acc, mn_acc
@@ -165,18 +165,18 @@ def _sketch_kernel(with_ties, scan_steps,
                     & (abs_e_col < hi_row)).astype(jnp.float32)
         # expand node maxima back to edges (exact one-hot selection)
         ex_mx = jnp.dot(onehot_t, mx_acc, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         ex_mn = jnp.dot(onehot_t, mn_acc, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         within = (abs_e_col >= e_start) & (abs_e_col < e_end)
         eq_mx = ((m == ex_mx) & within).astype(jnp.float32)
         eq_mn = ((m == ex_mn) & within).astype(jnp.float32)
         tmx_acc = tmx_acc + jnp.dot(onehot, eq_mx,
                                     preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         tmn_acc = tmn_acc + jnp.dot(onehot, eq_mn,
                                     preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
         return tmx_acc, tmn_acc
 
     tmx_acc, tmn_acc = jax.lax.fori_loop(c0, c1, phase2, (zeros, zeros))

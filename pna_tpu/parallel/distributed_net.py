@@ -176,9 +176,9 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
         return params, new_stats, opt_state, loss
 
     def put_consts():
-        s = lambda x: jax.device_put(jnp.asarray(x),
-                                     NamedSharding(mesh, table_spec))
-        return tuple(s(x) for x in
+        # put_global handles both single- and multi-process meshes
+        from pna_tpu.parallel.multihost import put_global
+        return tuple(put_global(x, mesh, table_spec) for x in
                      (part.senders_local, part.receivers_local, part.edge_mask,
                       part.send_idx, part.send_mask, part.node_mask))
 
