@@ -19,16 +19,20 @@ Design (one program per (node-tile, feature-tile)):
     [1, TILE_N] and column [TILE_N, 1] orientations, so every mask is built
     by a broadcast compare against an iota in the orientation it is used —
     no in-kernel transposes;
-  * phase 1 streams the node tile's chunk-aligned edge window: sum and
+  * one pass streams the node tile's chunk-aligned edge window: sum and
     sum-of-squares ride the MXU as one-hot [TILE_N, TILE_E] matmuls; max and
     min ride the VPU as a segmented Hillis–Steele scan over the edge sublanes
     (log2 TILE_E steps of ``pltpu.roll`` + compare) followed by a one-hot
     row-select matmul of each segment's last (= running) value;
-  * phase 2 re-streams the window and counts ties: node maxima are expanded
-    back to edges by the transposed one-hot matmul, compared, and the 0/1
-    mask reduced by the forward one-hot matmul.  Selections through one-hot
-    f32 matmuls are exact, so the sketch is bit-comparable to a sequential
-    implementation up to sum association.
+  * max/min **tie counts** (needed by the custom VJP to split the gradient
+    across tied edges) fold into the same scan: the combine op is lifted from
+    ``max`` to the associative semigroup on (value, count) pairs —
+    ``(a,ca)*(b,cb) = (a,ca) if a>b else (b,cb) if b>a else (a,ca+cb)`` — so
+    ties cost extra VPU selects but NO second pass over the edge window (the
+    original two-phase design re-streamed every message byte from HBM just to
+    count ties).  Selections through one-hot f32 matmuls are exact, so the
+    sketch is bit-comparable to a sequential implementation up to sum
+    association.
 
 Oracle/fallback: the ELL and segment paths in ``pna_tpu.ops`` (tests compare
 against both); CPU tests run this kernel in interpreter mode.
@@ -93,8 +97,11 @@ def _sketch_kernel(with_ties, scan_steps,
         cp.wait()
         return e0
 
-    def phase1(c, accs):
-        s_acc, sq_acc, mx_acc, mn_acc = accs
+    def sweep(c, accs):
+        if with_ties:
+            s_acc, sq_acc, mx_acc, mn_acc, tmx_acc, tmn_acc = accs
+        else:
+            s_acc, sq_acc, mx_acc, mn_acc = accs
         e0 = dma_chunk(c)
         m = msg_buf[:]                                    # [TILE_E, TILE_F]
         abs_e = lane_e + e0                               # [1, TILE_E]
@@ -118,13 +125,25 @@ def _sketch_kernel(with_ties, scan_steps,
 
         x_mx = jnp.where(within, m, NEG)
         x_mn = jnp.where(within, m, -NEG)
+        if with_ties:
+            # scan over (value, tie-count) pairs — associative combine:
+            # larger value wins and keeps its count; equal values add counts
+            c_mx = jnp.where(within, jnp.ones_like(m), 0.0)
+            c_mn = c_mx
         for k in range(scan_steps):
             sh = 1 << k
             ok = (subrow >= sh) & (pltpu.roll(seg, sh, 0) == seg)
-            x_mx = jnp.maximum(x_mx, jnp.where(ok, pltpu.roll(x_mx, sh, 0),
-                                               NEG))
-            x_mn = jnp.minimum(x_mn, jnp.where(ok, pltpu.roll(x_mn, sh, 0),
-                                               -NEG))
+            p_mx = jnp.where(ok, pltpu.roll(x_mx, sh, 0), NEG)
+            p_mn = jnp.where(ok, pltpu.roll(x_mn, sh, 0), -NEG)
+            if with_ties:
+                pc_mx = jnp.where(ok, pltpu.roll(c_mx, sh, 0), 0.0)
+                pc_mn = jnp.where(ok, pltpu.roll(c_mn, sh, 0), 0.0)
+                c_mx = jnp.where(x_mx > p_mx, c_mx,
+                                 jnp.where(x_mx < p_mx, pc_mx, c_mx + pc_mx))
+                c_mn = jnp.where(x_mn < p_mn, c_mn,
+                                 jnp.where(x_mn > p_mn, pc_mn, c_mn + pc_mn))
+            x_mx = jnp.maximum(x_mx, p_mx)
+            x_mn = jnp.minimum(x_mn, p_mn)
 
         # per node: running value at its last edge row inside this chunk
         last = jnp.minimum(hi_col, e0 + TILE_E) - 1 - e0  # [TILE_N, 1]
@@ -135,14 +154,36 @@ def _sketch_kernel(with_ties, scan_steps,
                           precision=jax.lax.Precision.HIGHEST)
         part_mn = jnp.dot(sel, x_mn, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-        mx_acc = jnp.maximum(mx_acc, jnp.where(has, part_mx, NEG))
-        mn_acc = jnp.minimum(mn_acc, jnp.where(has, part_mn, -NEG))
+        part_mx = jnp.where(has, part_mx, NEG)
+        part_mn = jnp.where(has, part_mn, -NEG)
+        if with_ties:
+            part_tmx = jnp.dot(sel, c_mx, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            part_tmn = jnp.dot(sel, c_mn, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            # cross-chunk (value, count) combine with the running accumulator
+            tmx_acc = jnp.where(part_mx > mx_acc, part_tmx,
+                                jnp.where(part_mx < mx_acc, tmx_acc,
+                                          tmx_acc + part_tmx))
+            tmn_acc = jnp.where(part_mn < mn_acc, part_tmn,
+                                jnp.where(part_mn > mn_acc, tmn_acc,
+                                          tmn_acc + part_tmn))
+        mx_acc = jnp.maximum(mx_acc, part_mx)
+        mn_acc = jnp.minimum(mn_acc, part_mn)
+        if with_ties:
+            return s_acc, sq_acc, mx_acc, mn_acc, tmx_acc, tmn_acc
         return s_acc, sq_acc, mx_acc, mn_acc
 
     zeros = jnp.zeros((TILE_N, TILE_F), jnp.float32)
-    s_acc, sq_acc, mx_acc, mn_acc = jax.lax.fori_loop(
-        c0, c1, phase1, (zeros, zeros, jnp.full_like(zeros, NEG),
-                         jnp.full_like(zeros, -NEG)))
+    init = (zeros, zeros, jnp.full_like(zeros, NEG),
+            jnp.full_like(zeros, -NEG))
+    if with_ties:
+        init = init + (zeros, zeros)
+        (s_acc, sq_acc, mx_acc, mn_acc, tmx_acc,
+         tmn_acc) = jax.lax.fori_loop(c0, c1, sweep, init)
+    else:
+        s_acc, sq_acc, mx_acc, mn_acc = jax.lax.fori_loop(c0, c1, sweep,
+                                                          init)
 
     s_ref[:] = s_acc
     sq_ref[:] = sq_acc
@@ -150,38 +191,9 @@ def _sketch_kernel(with_ties, scan_steps,
     empty_mn = mn_acc >= -NEG * 0.5
     mx_ref[:] = jnp.where(empty_mx, 0.0, mx_acc)
     mn_ref[:] = jnp.where(empty_mn, 0.0, mn_acc)
-
-    if not with_ties:
-        return
-
-    def phase2(c, accs):
-        tmx_acc, tmn_acc = accs
-        e0 = dma_chunk(c)
-        m = msg_buf[:]
-        abs_e = lane_e + e0
-        abs_e_col = sub_e + e0
-        onehot = ((abs_e >= lo_col) & (abs_e < hi_col)).astype(jnp.float32)
-        onehot_t = ((abs_e_col >= lo_row)
-                    & (abs_e_col < hi_row)).astype(jnp.float32)
-        # expand node maxima back to edges (exact one-hot selection)
-        ex_mx = jnp.dot(onehot_t, mx_acc, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        ex_mn = jnp.dot(onehot_t, mn_acc, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        within = (abs_e_col >= e_start) & (abs_e_col < e_end)
-        eq_mx = ((m == ex_mx) & within).astype(jnp.float32)
-        eq_mn = ((m == ex_mn) & within).astype(jnp.float32)
-        tmx_acc = tmx_acc + jnp.dot(onehot, eq_mx,
-                                    preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        tmn_acc = tmn_acc + jnp.dot(onehot, eq_mn,
-                                    preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        return tmx_acc, tmn_acc
-
-    tmx_acc, tmn_acc = jax.lax.fori_loop(c0, c1, phase2, (zeros, zeros))
-    tmx_ref[:] = jnp.maximum(tmx_acc, 1.0)
-    tmn_ref[:] = jnp.maximum(tmn_acc, 1.0)
+    if with_ties:
+        tmx_ref[:] = jnp.maximum(tmx_acc, 1.0)
+        tmn_ref[:] = jnp.maximum(tmn_acc, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=('with_ties', 'max_degree', 'interpret'))
