@@ -247,6 +247,11 @@ class PNALayerFused(nn.Module):
         if bucket_fast:
             ell_fast = pallas_fast = False
         if bucket_fast or ell_fast or pallas_fast:
+            # store the edge messages (the widest tensor of the layer) in the
+            # compute dtype: the banks upcast to f32 at the reduction inputs
+            # (convert fuses into the reduce), so accumulation stays f32 while
+            # HBM traffic through [E, T*Ft] halves under bf16
+            msg = msg.astype(cdt)
             if pallas_fast:
                 bank = pallas_bank.make_pallas_raw_bank(
                     graph.receivers, graph.edge_mask, graph.edge_ptr,
