@@ -31,13 +31,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_model(name: str, data, hidden: int, fc_layers: int):
+def build_model(name: str, data, args):
     from pna_tpu.nn.dense import (GATLayerDense, GCNLayerDense,
                                   GINLayerDense, PNALayerDense)
     from pna_tpu.nn.gnn import GNN
     from pna_tpu.ops.scalers import avg_d_from_dense_adj
 
-    def pna_conv(aggregators, scalers, divide_input, towers=4):
+    def pna_conv(aggregators, scalers, divide_input, towers):
         avg_d = avg_d_from_dense_adj(data['adj']['train'])
         return dict(layer_type=PNALayerDense,
                     args=dict(aggregators=aggregators, scalers=scalers,
@@ -48,28 +48,36 @@ def build_model(name: str, data, hidden: int, fc_layers: int):
     if name == 'pna':
         aggs = 'mean max min std'.split()
         scal = 'identity amplification attenuation'.split()
-        first, middle = pna_conv(aggs, scal, False), pna_conv(aggs, scal, True)
+        first = pna_conv(aggs, scal, False, args.towers)
+        middle = pna_conv(aggs, scal, True, args.towers)
     elif name.startswith('mpnn_'):
         agg = name.split('_', 1)[1]
-        first = pna_conv([agg], ['identity'], False)
-        middle = pna_conv([agg], ['identity'], True)
+        # mpnn = PNA with one aggregator x identity scaler
+        # (multitask_benchmark/train/mpnn.py:16-49; divide_input False/True)
+        first = pna_conv([agg], ['identity'], False, args.towers)
+        middle = pna_conv([agg], ['identity'], True, args.towers)
     elif name == 'gcn':
         first = middle = dict(layer_type=GCNLayerDense, args=dict())
     elif name == 'gat':
         first = middle = dict(layer_type=GATLayerDense,
-                              args=dict(nheads=4, alpha=0.2))
+                              args=dict(nheads=args.gat_nheads, alpha=0.2))
     elif name == 'gin':
         first = middle = dict(layer_type=GINLayerDense,
-                              args=dict(fc_layers=2))
+                              args=dict(fc_layers=args.gin_fc_layers))
     else:
         raise ValueError(name)
 
-    return GNN(nhid=hidden,
+    variable = not args.no_variable
+    fixed = not args.no_fixed
+    gru = not args.no_gru
+    conv_layers = args.variable_conv_layers if variable else args.conv_layers
+    return GNN(nhid=args.hidden,
                nodes_out=data['node_labels']['train'][0].shape[-1],
                graph_out=data['graph_labels']['train'][0].shape[-1],
-               dropout=0.0, conv_layers='N/2', fc_layers=fc_layers,
-               final_activation='LeakyReLu', skip=False, gru=True,
-               fixed=True, variable=True, first_conv=first,
+               dropout=args.dropout, conv_layers=conv_layers,
+               fc_layers=args.fc_layers,
+               final_activation='LeakyReLu', skip=args.skip, gru=gru,
+               fixed=fixed, variable=variable, first_conv=first,
                middle_conv=middle)
 
 
@@ -91,6 +99,24 @@ def main():
     p.add_argument('--seed', type=int, default=42)
     p.add_argument('--max_time_h', type=float, default=None)
     p.add_argument('--print_every', type=int, default=25)
+    # per-model architecture flags mirroring the reference train scripts
+    # (multitask_benchmark/util/train.py:39-52, train/gin.py:9,
+    #  train/mpnn.py:10-13, train/gat.py); defaults reproduce the
+    # README:36 PNA recipe used in round 2.
+    p.add_argument('--no_gru', action='store_true')
+    p.add_argument('--no_fixed', action='store_true')
+    p.add_argument('--no_variable', action='store_true')
+    p.add_argument('--skip', action='store_true')
+    p.add_argument('--dropout', type=float, default=0.0)
+    p.add_argument('--conv_layers', type=int, default=4,
+                   help='depth when --no_variable')
+    p.add_argument('--variable_conv_layers', default='N/2',
+                   choices=['N', 'N/2', '4log2N', '2log2N', '3sqrtN'])
+    p.add_argument('--towers', type=int, default=4)
+    p.add_argument('--gin_fc_layers', type=int, default=2)
+    p.add_argument('--gat_nheads', type=int, default=4)
+    p.add_argument('--tag', default=None,
+                   help='suffix for run artifacts so sweeps do not collide')
     args = p.parse_args()
 
     import jax
@@ -102,16 +128,17 @@ def main():
     from pna_tpu.train.engine import MultitaskTrainer, TrainConfig
 
     data = load_multitask_dataset(args.data, print_baseline=True)
-    model = build_model(args.model, data, args.hidden, args.fc_layers)
+    model = build_model(args.model, data, args)
 
+    run_name = f'multitask_{args.model}' + (f'_{args.tag}' if args.tag else '')
     os.makedirs(os.path.join(REPO, 'benchmarks', 'runs'), exist_ok=True)
     cfg = TrainConfig(
         lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
         patience=args.patience, seed=args.seed, print_every=args.print_every,
         metrics_path=os.path.join(REPO, 'benchmarks', 'runs',
-                                  f'multitask_{args.model}.jsonl'),
+                                  f'{run_name}.jsonl'),
         checkpoint_path=os.path.join(REPO, 'benchmarks', 'runs',
-                                     f'multitask_{args.model}_best.pkl'),
+                                     f'{run_name}_best.pkl'),
         max_time_s=None if args.max_time_h is None
         else args.max_time_h * 3600.0)
 
@@ -139,8 +166,14 @@ def main():
         recipe=dict(lr=args.lr, weight_decay=args.weight_decay,
                     hidden=args.hidden, fc_layers=args.fc_layers,
                     epochs=args.epochs, patience=args.patience,
-                    variable_conv_layers='N/2', gru=True, fixed=True,
-                    variable=True, seed=args.seed),
+                    gru=not args.no_gru, fixed=not args.no_fixed,
+                    variable=not args.no_variable, skip=args.skip,
+                    dropout=args.dropout, seed=args.seed,
+                    towers=args.towers, gin_fc_layers=args.gin_fc_layers,
+                    gat_nheads=args.gat_nheads,
+                    **({'variable_conv_layers': args.variable_conv_layers}
+                       if not args.no_variable
+                       else {'conv_layers': args.conv_layers})),
     )
 
     merged = {}

@@ -18,7 +18,14 @@ cd "$(dirname "$0")"
 fetch() {  # fetch <url> <out>
   if [ -f "$2" ]; then echo "$2 already downloaded."; return; fi
   echo "downloading $2 ..."
-  curl -J -L -k "$1" -o "$2"
+  curl -J -L "$1" -o "$2"   # TLS verification ON (pickles are deserialized)
+  # Verify against pinned digests when available (populate sha256sums.txt on
+  # a trusted machine with: sha256sum *.zip > sha256sums.txt).
+  if [ -f sha256sums.txt ] && grep -q " $2\$" sha256sums.txt; then
+    grep " $2\$" sha256sums.txt | sha256sum -c - || { rm -f "$2"; exit 1; }
+  else
+    echo "WARNING: no pinned sha256 for $2 — verify before unpickling."
+  fi
 }
 
 # --- ZINC (raw per-split pickles used by molecules.py:19-27 of the reference)
@@ -38,7 +45,7 @@ unzip -n superpixels.zip -d superpixels_tmp && \
 
 # --- OGB MolHIV raw CSVs (the loader reads the csv.gz files directly)
 mkdir -p ogbg_molhiv
-fetch "http://snap.stanford.edu/ogb/data/graphproppred/csv_mol_download/hiv.zip" hiv.zip
+fetch "https://snap.stanford.edu/ogb/data/graphproppred/csv_mol_download/hiv.zip" hiv.zip
 unzip -n hiv.zip -d ogbg_tmp && \
   mv -n ogbg_tmp/hiv/* ogbg_molhiv/ && rm -rf ogbg_tmp
 

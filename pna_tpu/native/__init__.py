@@ -7,6 +7,7 @@ costs preprocessing speed, never correctness."""
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -15,19 +16,34 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "graph_ops.cpp")
-_SO = os.path.join(_DIR, "graph_ops.so")
+_FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    """Cache path keyed on a content hash of the source + build flags, so a
+    stale or foreign-ISA binary is never loaded (the .so is not committed;
+    each host builds its own — ADVICE r2)."""
+    with open(_SRC, 'rb') as f:
+        h = hashlib.sha256(f.read() + " ".join(_FLAGS).encode()).hexdigest()
+    return os.path.join(_DIR, f"graph_ops_{h[:16]}.so")
+
+
+def _build(so: str) -> bool:
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO + ".tmp"],
-            check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        subprocess.run(["g++", *_FLAGS, _SRC, "-o", so + ".tmp"],
+                       check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        # drop caches of older source revisions
+        for f in os.listdir(_DIR):
+            p = os.path.join(_DIR, f)
+            if f.endswith(".so") and p != so:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return True
     except Exception:
         return False
@@ -40,12 +56,12 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
-            if not _build():
+        so = _so_path()
+        if not os.path.exists(so):
+            if not _build(so):
                 return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             return None
         i32p = ctypes.POINTER(ctypes.c_int32)

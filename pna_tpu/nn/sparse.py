@@ -145,17 +145,24 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((feat,)))
         if train:
+            # Shifted-moments form: accumulate moments of (x - shift) with
+            # shift = running mean (identical on every shard, so the psum
+            # stays a plain sum).  Avoids the E[x^2]-E[x]^2 cancellation when
+            # |mean| >> std while remaining a single-pass psum (ADVICE r2).
+            shift = jax.lax.stop_gradient(ra_mean.value)
+            xc = x - shift
             m = mask.astype(x.dtype)[:, None]
             n = jnp.sum(m)
-            s1 = jnp.sum(x * m, axis=0)
-            s2 = jnp.sum((x * x) * m, axis=0)
+            s1 = jnp.sum(xc * m, axis=0)
+            s2 = jnp.sum((xc * xc) * m, axis=0)
             if self.axis_name is not None and not self.is_initializing():
                 n = jax.lax.psum(n, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)
                 s2 = jax.lax.psum(s2, self.axis_name)
             n = jnp.maximum(n, 1.0)
-            mean = s1 / n
-            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            dmean = s1 / n
+            mean = shift + dmean
+            var = jnp.maximum(s2 / n - dmean * dmean, 0.0)
             if not self.is_initializing():
                 # torch running_var uses the unbiased estimate
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)

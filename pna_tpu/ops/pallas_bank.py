@@ -66,6 +66,19 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
         ptr = jnp.minimum(edge_ptr, n_real).astype(jnp.int32)
     else:
         ptr = edge_ptr.astype(jnp.int32)
+    if max_degree:
+        # Validate the trust-the-caller depth hint when the layout is
+        # concrete (the usual case: layouts are bound outside jit).  A hint
+        # below the true in-degree silently under-reduces max/min (ADVICE r2).
+        import numpy as np
+        try:
+            true_max = int(np.max(np.diff(np.asarray(ptr))))
+        except Exception:   # traced layout: cannot check at bind time
+            true_max = None
+        if true_max is not None and true_max > max_degree:
+            raise ValueError(
+                f"max_degree hint {max_degree} < true max in-degree "
+                f"{true_max}: the segmented scan would under-reduce max/min")
     deg = (ptr[1:] - ptr[:-1]).astype(jnp.float32)              # [N]
     cnt = jnp.maximum(deg, 1.0)
 

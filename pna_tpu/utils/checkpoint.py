@@ -50,6 +50,19 @@ class CheckpointManager:
         self.mode = mode
         self.best: list = []  # [(metric, path)]
         os.makedirs(directory, exist_ok=True)
+        # Seed from checkpoints written before a resume, so rotation deletes
+        # them and restore_best never prefers a stale pre-resume file.
+        for fname in os.listdir(directory):
+            if not (fname.startswith('best_') and fname.endswith('.ckpt')):
+                continue
+            path = os.path.join(directory, fname)
+            try:
+                _, meta = load_checkpoint(path)
+                metric = float(meta['metric'])
+            except Exception:
+                continue
+            self.best.append((metric, path))
+        self.best.sort(key=lambda t: t[0], reverse=(self.mode == 'max'))
 
     def _better(self, a, b):
         return a < b if self.mode == 'min' else a > b
@@ -84,10 +97,21 @@ class CheckpointManager:
 
     def restore_best(self):
         if not self.best:
-            # scan directory
-            cands = [f for f in os.listdir(self.dir) if f.startswith('best_')]
+            # scan directory, selecting by the recorded metric (not by
+            # filename order — best_5 vs best_12 sorts wrong lexically)
+            cands = []
+            for fname in os.listdir(self.dir):
+                if not (fname.startswith('best_')
+                        and fname.endswith('.ckpt')):
+                    continue
+                path = os.path.join(self.dir, fname)
+                try:
+                    _, meta = load_checkpoint(path)
+                    cands.append((float(meta['metric']), path))
+                except Exception:
+                    continue
             if not cands:
                 return None, None
-            path = os.path.join(self.dir, sorted(cands)[-1])
-            return load_checkpoint(path)
+            cands.sort(key=lambda t: t[0], reverse=(self.mode == 'max'))
+            return load_checkpoint(cands[0][1])
         return load_checkpoint(self.best[0][1])

@@ -125,3 +125,20 @@ def test_pallas_bank_pad_edges_excluded():
     real = np.asarray(g.node_mask)
     np.testing.assert_allclose(np.asarray(zp)[real], np.asarray(ze)[real],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bank_rejects_bad_max_degree_hint():
+    """A max_degree hint below the true in-degree must raise at bind time
+    instead of silently under-reducing max/min (ADVICE r2)."""
+    rng = np.random.RandomState(3)
+    g = batch_graphs(_random_graphs(rng), with_ell=True, sort_edges=True)
+    ptr = np.asarray(g.edge_ptr)
+    n_real = int(np.sum(np.asarray(g.edge_mask)))
+    true_max = int(np.max(np.diff(np.minimum(ptr, n_real))))
+    assert true_max > 1
+    with pytest.raises(ValueError, match="under-reduce"):
+        make_pallas_raw_bank(g.receivers, g.edge_mask, g.edge_ptr,
+                             max_degree=1, interpret=True)
+    # a correct (or generous) hint binds fine
+    make_pallas_raw_bank(g.receivers, g.edge_mask, g.edge_ptr,
+                         max_degree=true_max, interpret=True)

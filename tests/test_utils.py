@@ -36,6 +36,29 @@ def test_checkpoint_manager_rotation(tmp_path):
     assert meta['epoch'] == 5
 
 
+def test_checkpoint_manager_resume_rotation(tmp_path):
+    """After a resume (fresh manager over an existing dir), pre-resume
+    best_* files must participate in rotation and best-selection by metric,
+    not by filename (ADVICE r2: best_5 beat best_12 lexicographically)."""
+    st = {'w': np.zeros(2)}
+    mgr1 = CheckpointManager(str(tmp_path), keep_best=1, mode='min')
+    mgr1.save_best(st, 1.0, epoch=5)
+
+    # simulate process restart: new manager over the same directory
+    mgr2 = CheckpointManager(str(tmp_path), keep_best=1, mode='min')
+    assert mgr2.best and mgr2.best[0][0] == 1.0  # seeded from disk
+    assert mgr2.save_best(st, 0.4, epoch=12)     # better -> rotates best_5 out
+    files = sorted(f for f in os.listdir(tmp_path) if f.startswith('best_'))
+    assert files == ['best_12.ckpt']
+
+    # even with an un-seeded manager, restore_best picks by metric
+    mgr1.save_best({'w': np.ones(2)}, 0.9, epoch=5)  # re-create worse best_5
+    mgr3 = CheckpointManager.__new__(CheckpointManager)
+    mgr3.dir, mgr3.keep_best, mgr3.mode, mgr3.best = str(tmp_path), 1, 'min', []
+    state, meta = mgr3.restore_best()
+    assert meta['epoch'] == 12 and meta['metric'] == 0.4
+
+
 def test_metrics_logger(tmp_path):
     p = str(tmp_path / 'm.jsonl')
     lg = MetricsLogger(p)
