@@ -1,0 +1,464 @@
+"""Full-net weight-port parity for the real-world models (VERDICT r2 item 2).
+
+With real ZINC/MolHIV data unreachable (egress blocked), net-level parity is
+the strongest accuracy evidence available: we re-enact the COMPLETE reference
+nets in torch — embedding -> L x DGL PNALayer (towers, edge feats, +GRU) ->
+readout -> MLPReadout (realworld_benchmark/nets/molecules_graph_regression/
+pna_net.py:16-96) and AtomEncoder -> L x PNASimpleLayer -> mean readout
+(nets/HIV_graph_classification/pna_net.py:9-64) — on top of the reference's
+own torch modules (models/layers.py MLP/FCLayer, models/dgl/{aggregators,
+scalers}.py, nets/{gru,mlp_readout_layer}.py), with DGL's message passing
+replaced by explicit python mailbox loops (models/dgl/pna_layer.py:55-76).
+
+Weights are ported into PNANetMolecules (fused path, all four aggregation
+kernels) and PNANetHIV, and the forward outputs + L1/BCE losses must agree.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pna_tpu.graph import batch_graphs
+from pna_tpu.nn.nets import PNANetHIV, PNANetMolecules
+from tests._reference import (REFERENCE_PATH, add_reference_to_path,
+                              reference_available)
+from tests.port_torch import port_gru_cell, port_linear, t2n, to_variables
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference/torch unavailable")
+
+AVG_D = {"lin": 3.2, "log": 1.31}
+AGGS = "mean max min std"
+SCAL = "identity amplification attenuation"
+
+
+def _add_realworld_to_path():
+    import sys
+    p = REFERENCE_PATH + "/realworld_benchmark"
+    if p not in sys.path:
+        sys.path.append(p)  # append: never shadow repo-local packages
+
+
+# ---------------------------------------------------------------------------
+# torch re-enactment of the reference nets (DGL replaced by mailbox loops)
+# ---------------------------------------------------------------------------
+
+def _aggregate_scale(msg, recv, n, aggregators, scalers, avg_d):
+    """reduce_func of models/dgl/pna_layer.py:44-50 / :178-183: per-node
+    mailbox -> cat(aggregators) -> cat(scalers with D = mailbox width)."""
+    import torch
+    from models.dgl import aggregators as dagg, scalers as dsc
+    rows = []
+    recv_t = torch.tensor(recv, dtype=torch.long)
+    for i in range(n):
+        mbox = msg[recv_t == i].unsqueeze(0)          # [1, D_i, F]
+        a = torch.cat([dagg.AGGREGATORS[ag](mbox) for ag in aggregators],
+                      dim=1)
+        s = torch.cat([dsc.SCALERS[sc](a, D=mbox.shape[-2], avg_d=avg_d)
+                       for sc in scalers], dim=1)
+        rows.append(s)
+    return torch.cat(rows, dim=0)                     # [n, S*A*F]
+
+
+def make_torch_zinc_net(num_atom_type, num_bond_type, hidden, out_dim, L,
+                        towers, edge_dim, edge_feat, gru,
+                        divide_first, divide_last,
+                        pretrans_layers=1, posttrans_layers=1, seed=0):
+    """Build the reference ZINC PNANet (pna_net.py:16-96) as plain torch
+    modules + a closure running the DGL semantics with mailbox loops."""
+    add_reference_to_path()
+    _add_realworld_to_path()
+    import torch
+    import torch.nn as tnn
+    from models.layers import MLP as RefMLP, FCLayer as RefFCLayer
+    from nets.gru import GRU as RefGRU
+    from nets.mlp_readout_layer import MLPReadout as RefMLPReadout
+
+    torch.manual_seed(seed)
+    aggs, scal = AGGS.split(), SCAL.split()
+    A, S = len(aggs), len(scal)
+
+    class Tower:
+        def __init__(self, in_dim, o_dim):
+            fe = edge_dim if edge_feat else 0
+            self.pretrans = RefMLP(in_size=2 * in_dim + fe, hidden_size=in_dim,
+                                   out_size=in_dim, layers=pretrans_layers,
+                                   mid_activation='relu',
+                                   last_activation='none')
+            self.posttrans = RefMLP(in_size=(A * S + 1) * in_dim,
+                                    hidden_size=o_dim, out_size=o_dim,
+                                    layers=posttrans_layers,
+                                    mid_activation='relu',
+                                    last_activation='none')
+            self.batchnorm_h = tnn.BatchNorm1d(o_dim)
+
+        def __call__(self, h, e, send, recv, snorm_n):
+            # models/dgl/pna_layer.py:36-76 (pretrans cat order: src, dst, ef)
+            import torch
+            parts = [h[send], h[recv]] + ([e] if edge_feat else [])
+            msg = self.pretrans(torch.cat(parts, dim=1))
+            agg = _aggregate_scale(msg, recv, h.shape[0], aggs, scal, AVG_D)
+            out = self.posttrans(torch.cat([h, agg], dim=1))
+            out = out * snorm_n                       # graph_norm
+            return self.batchnorm_h(out)              # batch_norm (eval)
+
+    class Layer:
+        def __init__(self, in_dim, o_dim, divide_input):
+            self.divide_input = divide_input
+            self.input_tower = in_dim // towers if divide_input else in_dim
+            self.output_tower = o_dim // towers
+            self.residual = in_dim == o_dim
+            self.towers = [Tower(self.input_tower, self.output_tower)
+                           for _ in range(towers)]
+            self.mixing_network = RefFCLayer(o_dim, o_dim,
+                                             activation='LeakyReLU')
+
+        def __call__(self, h, e, send, recv, snorm_n):
+            import torch
+            h_in = h
+            if self.divide_input:
+                cols = [tw(h[:, t * self.input_tower:(t + 1)
+                            * self.input_tower], e, send, recv, snorm_n)
+                        for t, tw in enumerate(self.towers)]
+            else:
+                cols = [tw(h, e, send, recv, snorm_n) for tw in self.towers]
+            h_out = self.mixing_network(torch.cat(cols, dim=1))
+            if self.residual:
+                h_out = h_in + h_out
+            return h_out
+
+    class Net:
+        def __init__(self):
+            self.embedding_h = tnn.Embedding(num_atom_type, hidden)
+            self.embedding_e = (tnn.Embedding(num_bond_type, edge_dim)
+                                if edge_feat else None)
+            self.layers = ([Layer(hidden, hidden, divide_first)
+                            for _ in range(L - 1)]
+                           + [Layer(hidden, out_dim, divide_last)])
+            self.gru = RefGRU(hidden, hidden, 'cpu') if gru else None
+            self.MLP_layer = RefMLPReadout(out_dim, 1)
+
+        def eval(self):
+            import torch
+            for lay in self.layers:
+                for tw in lay.towers:
+                    tw.pretrans.eval(); tw.posttrans.eval()
+                    tw.batchnorm_h.eval()
+                lay.mixing_network.eval()
+            if self.gru is not None:
+                self.gru.eval()
+            self.MLP_layer.eval()
+
+        def __call__(self, h_idx, e_idx, send, recv, graph_id, n_graphs,
+                     snorm_n):
+            import torch
+            h = self.embedding_h(h_idx)
+            e = self.embedding_e(e_idx) if edge_feat else None
+            for i, conv in enumerate(self.layers):
+                h_t = conv(h, e, send, recv, snorm_n)
+                if self.gru is not None and i != len(self.layers) - 1:
+                    h_t = self.gru(h, h_t)            # pna_net.py:76-79
+                h = h_t
+            hg = torch.zeros(n_graphs, h.shape[1]).index_add_(
+                0, torch.tensor(graph_id, dtype=torch.long), h)  # sum_nodes
+            return self.MLP_layer(hg)
+
+    return Net()
+
+
+# ---------------------------------------------------------------------------
+# weight porting: torch re-enactment -> PNANetMolecules (fused) params
+# ---------------------------------------------------------------------------
+
+def port_layer_to_fused(layer):
+    params, stats = {}, {}
+    for mlp_name in ('pretrans', 'posttrans'):
+        fcs = [getattr(tw, mlp_name).fully_connected for tw in layer.towers]
+        d = {}
+        for i in range(len(fcs[0])):
+            d[f'kernel_{i}'] = np.stack(
+                [t2n(fc[i].linear.weight).T for fc in fcs])
+            d[f'bias_{i}'] = np.stack([t2n(fc[i].linear.bias) for fc in fcs])
+        params[mlp_name] = d
+    params['batchnorm_h'] = {
+        'scale': np.concatenate([t2n(tw.batchnorm_h.weight)
+                                 for tw in layer.towers]),
+        'bias': np.concatenate([t2n(tw.batchnorm_h.bias)
+                                for tw in layer.towers])}
+    stats['batchnorm_h'] = {
+        'mean': np.concatenate([t2n(tw.batchnorm_h.running_mean)
+                                for tw in layer.towers]),
+        'var': np.concatenate([t2n(tw.batchnorm_h.running_var)
+                               for tw in layer.towers])}
+    params['mixing'] = port_linear(layer.mixing_network.linear)
+    return params, stats
+
+
+def port_mlp_readout(r):
+    return {f'Dense_{i}': port_linear(fc) for i, fc in enumerate(r.FC_layers)}
+
+
+def port_zinc_net(net, hidden, edge_feat, gru):
+    params, stats = {}, {}
+    params['embedding_h'] = {'embedding': t2n(net.embedding_h.weight)}
+    if edge_feat:
+        params['embedding_e'] = {'embedding': t2n(net.embedding_e.weight)}
+    for i, lay in enumerate(net.layers):
+        p, s = port_layer_to_fused(lay)
+        params[f'layer_{i}'] = p
+        stats[f'layer_{i}'] = s
+    if gru:
+        params['gru'] = {'GRUCell_0': port_gru_cell(net.gru.gru, hidden)}
+    params['MLP_layer'] = port_mlp_readout(net.MLP_layer)
+    return to_variables(params, stats)
+
+
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
+
+def _random_molecules(rng, n_graphs, num_atom_type, num_bond_type,
+                      lo=6, hi=12):
+    graphs, offset = [], 0
+    for _ in range(n_graphs):
+        n = rng.randint(lo, hi)
+        adj = (rng.rand(n, n) < 0.5)
+        adj = adj | adj.T
+        np.fill_diagonal(adj, False)
+        for i in range(n):
+            if not adj[i].any():
+                adj[i, (i + 1) % n] = adj[(i + 1) % n, i] = True
+        recv, send = np.nonzero(adj)
+        graphs.append(dict(
+            atom=rng.randint(0, num_atom_type, size=n).astype(np.int32),
+            bond=rng.randint(0, num_bond_type,
+                             size=len(send)).astype(np.int32),
+            senders=send.astype(np.int32), receivers=recv.astype(np.int32),
+            n=n))
+    return graphs
+
+
+def _flatten(graphs):
+    send, recv, gid, atom, bond, snorm = [], [], [], [], [], []
+    off = 0
+    for g_i, g in enumerate(graphs):
+        send.append(g['senders'] + off)
+        recv.append(g['receivers'] + off)
+        gid.append(np.full(g['n'], g_i))
+        atom.append(g['atom'])
+        bond.append(g['bond'])
+        snorm.append(np.full((g['n'], 1), np.sqrt(1.0 / g['n']),
+                             np.float32))
+        off += g['n']
+    return (np.concatenate(send), np.concatenate(recv), np.concatenate(gid),
+            np.concatenate(atom), np.concatenate(bond),
+            np.concatenate(snorm), off)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kernel,gru", [
+    ("generic", True), ("ell", True), ("bucketed", False),
+    ("pallas", False)])
+def test_zinc_fullnet_weight_port_parity(kernel, gru):
+    import torch
+    num_atom, num_bond = 28, 4            # data/molecules.py:94-95
+    hidden = out_dim = 20
+    towers, edge_dim, L = 5, 8, 3
+    rng = np.random.RandomState(5)
+    mols = _random_molecules(rng, 6, num_atom, num_bond)
+    send, recv, gid, atom, bond, snorm, n_tot = _flatten(mols)
+
+    tnet = make_torch_zinc_net(num_atom, num_bond, hidden, out_dim, L,
+                               towers, edge_dim, edge_feat=True, gru=gru,
+                               divide_first=False, divide_last=True, seed=3)
+    # randomize BN running stats so the port is actually exercised
+    for lay in tnet.layers:
+        for tw in lay.towers:
+            tw.batchnorm_h.running_mean.copy_(
+                torch.tensor(rng.randn(tw.batchnorm_h.num_features) * 0.3,
+                             dtype=torch.float32))
+            tw.batchnorm_h.running_var.copy_(
+                torch.tensor(0.5 + rng.rand(tw.batchnorm_h.num_features),
+                             dtype=torch.float32))
+    tnet.eval()
+    with torch.no_grad():
+        ref_scores = tnet(torch.tensor(atom, dtype=torch.long),
+                          torch.tensor(bond, dtype=torch.long),
+                          send, recv, gid, len(mols),
+                          torch.tensor(snorm)).numpy()      # [G, 1]
+
+    g = batch_graphs(
+        [dict(node_feats=m['atom'][:, None], senders=m['senders'],
+              receivers=m['receivers'], edge_feats=m['bond'][:, None])
+         for m in mols],
+        with_snorm=True, bucket_by_degree=(kernel == 'bucketed'))
+    model = PNANetMolecules(
+        num_atom_type=num_atom, num_bond_type=num_bond, hidden_dim=hidden,
+        out_dim=out_dim, n_layers=L, aggregators=tuple(AGGS.split()),
+        scalers=tuple(SCAL.split()), avg_d=AVG_D, readout_type='sum',
+        towers=towers, divide_input_first=False, divide_input_last=True,
+        edge_feat=True, edge_dim=edge_dim, gru_enable=gru,
+        residual=True, graph_norm=True, batch_norm=True,
+        kernel=kernel, pallas_interpret=(kernel == 'pallas'))
+    variables = port_zinc_net(tnet, hidden, edge_feat=True, gru=gru)
+    h_idx = g.node_feats.squeeze(-1).astype(jnp.int32)
+    e_idx = g.edge_feats.squeeze(-1).astype(jnp.int32)
+    scores = model.apply(variables, g, h_idx, e_idx, train=False)
+    got = np.asarray(scores)[:len(mols)]
+    np.testing.assert_allclose(got, ref_scores, rtol=3e-4, atol=3e-4)
+
+    # loss parity: reference L1Loss (pna_net.py:94-96)
+    targets = rng.randn(len(mols)).astype(np.float32)
+    ref_loss = float(torch.nn.L1Loss()(
+        torch.tensor(ref_scores).squeeze(-1), torch.tensor(targets)))
+    pad_targets = np.zeros(g.n_graph_pad, np.float32)
+    pad_targets[:len(mols)] = targets
+    got_loss = float(PNANetMolecules.loss(scores, jnp.asarray(pad_targets),
+                                          g.graph_mask))
+    np.testing.assert_allclose(got_loss, ref_loss, rtol=3e-4, atol=3e-4)
+
+
+def make_torch_hiv_net(hidden, out_dim, L, feature_dims, seed=0):
+    """Reference HIV PNANet (nets/HIV_graph_classification/pna_net.py:9-64)
+    with ogb's AtomEncoder re-enacted (sum of xavier-uniform embeddings)."""
+    add_reference_to_path()
+    _add_realworld_to_path()
+    import torch
+    import torch.nn as tnn
+    from models.layers import MLP as RefMLP
+    from nets.mlp_readout_layer import MLPReadout as RefMLPReadout
+
+    torch.manual_seed(seed)
+    aggs, scal = AGGS.split(), SCAL.split()
+    A, S = len(aggs), len(scal)
+
+    class SimpleLayer:                    # models/dgl/pna_layer.py:151-219
+        def __init__(self, in_dim, o_dim):
+            self.posttrans = RefMLP(in_size=A * S * in_dim, hidden_size=o_dim,
+                                    out_size=o_dim, layers=1,
+                                    mid_activation='relu',
+                                    last_activation='none')
+            self.batchnorm_h = tnn.BatchNorm1d(o_dim)
+            self.residual = in_dim == o_dim
+
+        def __call__(self, h, send, recv):
+            import torch
+            h_in = h
+            agg = _aggregate_scale(h[send], recv, h.shape[0], aggs, scal,
+                                   AVG_D)
+            out = torch.relu(self.batchnorm_h(self.posttrans(agg)))
+            return h_in + out if self.residual else out
+
+    class AtomEnc:                        # ogb mol_encoder.AtomEncoder
+        def __init__(self):
+            self.embs = []
+            for dim in feature_dims:
+                emb = tnn.Embedding(dim, hidden)
+                tnn.init.xavier_uniform_(emb.weight.data)
+                self.embs.append(emb)
+
+        def __call__(self, x):
+            return sum(emb(x[:, i]) for i, emb in enumerate(self.embs))
+
+    class Net:
+        def __init__(self):
+            self.embedding_h = AtomEnc()
+            self.layers = ([SimpleLayer(hidden, hidden)
+                            for _ in range(L - 1)]
+                           + [SimpleLayer(hidden, out_dim)])
+            self.MLP_layer = RefMLPReadout(out_dim, 1)
+
+        def eval(self):
+            for lay in self.layers:
+                lay.posttrans.eval(); lay.batchnorm_h.eval()
+            self.MLP_layer.eval()
+
+        def __call__(self, x, send, recv, graph_id, n_graphs):
+            import torch
+            h = self.embedding_h(x)
+            for lay in self.layers:
+                h = lay(h, send, recv)
+            gid = torch.tensor(graph_id, dtype=torch.long)
+            sums = torch.zeros(n_graphs, h.shape[1]).index_add_(0, gid, h)
+            cnt = torch.zeros(n_graphs).index_add_(
+                0, gid, torch.ones(h.shape[0]))
+            return self.MLP_layer(sums / cnt[:, None])   # mean readout
+
+    return Net()
+
+
+def port_hiv_net(net):
+    params, stats = {}, {}
+    params['embedding_h'] = {
+        f'emb_{i}': {'embedding': t2n(emb.weight)}
+        for i, emb in enumerate(net.embedding_h.embs)}
+    for i, lay in enumerate(net.layers):
+        p = {'posttrans': {}, 'batchnorm_h': {}}
+        for j, fc in enumerate(lay.posttrans.fully_connected):
+            p['posttrans'][f'FCLayer_{j}'] = {
+                'Dense_0': port_linear(fc.linear)}
+        p['batchnorm_h'] = {'scale': t2n(lay.batchnorm_h.weight),
+                            'bias': t2n(lay.batchnorm_h.bias)}
+        params[f'layer_{i}'] = p
+        stats[f'layer_{i}'] = {'batchnorm_h': {
+            'mean': t2n(lay.batchnorm_h.running_mean),
+            'var': t2n(lay.batchnorm_h.running_var)}}
+    params['MLP_layer'] = port_mlp_readout(net.MLP_layer)
+    return to_variables(params, stats)
+
+
+def test_hiv_fullnet_weight_port_parity():
+    import torch
+    from pna_tpu.nn.nets import OGB_ATOM_FEATURE_DIMS
+    hidden = out_dim = 16
+    L = 4
+    rng = np.random.RandomState(11)
+    mols = _random_molecules(rng, 6, 1, 1, lo=7, hi=13)
+    for m in mols:   # OGB atom features: 9 ints per node
+        m['x'] = np.stack([rng.randint(0, d, size=m['n'])
+                           for d in OGB_ATOM_FEATURE_DIMS],
+                          axis=1).astype(np.int32)
+    send, recv, gid, _, _, _, n_tot = _flatten(mols)
+    x = np.concatenate([m['x'] for m in mols], axis=0)
+
+    tnet = make_torch_hiv_net(hidden, out_dim, L, OGB_ATOM_FEATURE_DIMS,
+                              seed=7)
+    for lay in tnet.layers:   # randomize running stats
+        lay.batchnorm_h.running_mean.copy_(torch.tensor(
+            rng.randn(lay.batchnorm_h.num_features) * 0.3,
+            dtype=torch.float32))
+        lay.batchnorm_h.running_var.copy_(torch.tensor(
+            0.5 + rng.rand(lay.batchnorm_h.num_features),
+            dtype=torch.float32))
+    tnet.eval()
+    with torch.no_grad():
+        ref_scores = tnet(torch.tensor(x, dtype=torch.long), send, recv,
+                          gid, len(mols)).numpy()
+
+    g = batch_graphs([dict(node_feats=m['x'], senders=m['senders'],
+                           receivers=m['receivers']) for m in mols])
+    model = PNANetHIV(hidden_dim=hidden, out_dim=out_dim, n_layers=L,
+                      aggregators=tuple(AGGS.split()),
+                      scalers=tuple(SCAL.split()), avg_d=AVG_D,
+                      readout_type='mean', batch_norm=True, residual=True)
+    variables = port_hiv_net(tnet)
+    scores = model.apply(variables, g, g.node_feats.astype(jnp.int32),
+                         train=False)
+    got = np.asarray(scores)[:len(mols)]
+    np.testing.assert_allclose(got, ref_scores, rtol=3e-4, atol=3e-4)
+
+    # loss parity: BCEWithLogitsLoss (pna_net.py:62-64)
+    labels = rng.randint(0, 2, size=len(mols))
+    ref_loss = float(torch.nn.BCEWithLogitsLoss()(
+        torch.tensor(ref_scores),
+        torch.tensor(labels, dtype=torch.float32).unsqueeze(-1)))
+    pad_labels = np.zeros(g.n_graph_pad, np.int32)
+    pad_labels[:len(mols)] = labels
+    got_loss = float(PNANetHIV.loss(scores, jnp.asarray(pad_labels),
+                                    g.graph_mask))
+    np.testing.assert_allclose(got_loss, ref_loss, rtol=3e-4, atol=3e-4)
