@@ -57,27 +57,41 @@ class DistributedPNANet(nn.Module):
     residual: bool = True
     graph_axis: str = 'graph'
     bn_axes: Optional[Tuple[str, ...]] = None   # e.g. ('data', 'graph')
+    # aggregation backend forwarded to PNALayerFused; with a bucketized
+    # partition (partition.bucketize_partition) 'auto'/'bucketed' runs the
+    # gather/scatter-free dense-bucket path inside the distributed step
+    kernel: str = 'auto'
+    # split local/boundary aggregation so the local partial has no data
+    # dependence on the all_to_all (comm/compute overlap; needs the
+    # ``split`` tables from partition.split_edges in __call__)
+    overlap: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, h, send_idx=None, send_mask=None,
-                 train: bool = False):
+                 train: bool = False, split=None):
         avg_d = self.avg_d or {'lin': 1.0, 'log': 1.0}
         distributed = send_idx is not None
         h = nn.Dense(self.hidden_dim, name='embedding_h')(h)
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
-            table = None
+            table = layer_overlap = None
             if distributed:
                 halo = halo_exchange(h, send_idx, send_mask, self.graph_axis)
-                table = jnp.concatenate([h, halo], axis=0)
+                if self.overlap:
+                    assert split is not None
+                    layer_overlap = (halo,) + tuple(split)
+                else:
+                    table = jnp.concatenate([h, halo], axis=0)
             h = PNALayerFused(
                 out_dim=self.out_dim if last else self.hidden_dim,
                 aggregators=self.aggregators, scalers=self.scalers,
                 avg_d=avg_d, towers=self.towers, divide_input=True,
                 batch_norm=self.batch_norm, residual=self.residual,
                 bn_axis_name=self.bn_axes if distributed else None,
+                kernel=self.kernel,
                 name=f'layer_{i}')(graph, h, train=train,
-                                   sender_table=table)
+                                   sender_table=table,
+                                   overlap=layer_overlap)
         # masked mean readout over ALL real nodes of the (single) graph
         m = graph.node_mask.astype(h.dtype)[:, None]
         s = jnp.sum(h * m, axis=0)
@@ -89,14 +103,16 @@ class DistributedPNANet(nn.Module):
         return MLPReadout(1, name='MLP_layer')(hg)[0]
 
 
-def _local_graph(nl, senders_l, receivers_l, edge_mask, node_mask):
+def _local_graph(nl, senders_l, receivers_l, edge_mask, node_mask,
+                 bucket_spec=None, in_deg=None):
     # node_feats is a zero-width placeholder: layers receive h separately,
     # but Graph.n_node_pad reads node_feats.shape[0].
     return Graph(node_feats=jnp.zeros((nl, 0)), senders=senders_l,
                  receivers=receivers_l,
                  node_graph_ids=jnp.zeros((nl,), jnp.int32),
                  node_mask=node_mask, edge_mask=edge_mask,
-                 graph_mask=jnp.ones((1,), bool))
+                 graph_mask=jnp.ones((1,), bool),
+                 bucket_spec=bucket_spec, in_deg=in_deg)
 
 
 def full_graph(part: EdgePartition, senders: np.ndarray,
@@ -104,11 +120,10 @@ def full_graph(part: EdgePartition, senders: np.ndarray,
     """Single-device oracle graph over the same padded node space [P*Nl].
 
     ``senders``/``receivers`` are in ORIGINAL node ids; when the partition
-    was built with a locality reordering they are relabeled into the
-    partitioned space here, so oracle and distributed runs line up."""
+    was built with a locality reordering (or bucketized) they are relabeled
+    into the partitioned space here, so oracle and distributed runs line up."""
     if part.node_order is not None:
-        inv = np.empty(part.num_nodes, dtype=np.int64)
-        inv[part.node_order] = np.arange(part.num_nodes)
+        inv = part._positions()
         senders = inv[np.asarray(senders)]
         receivers = inv[np.asarray(receivers)]
     P_, nl = part.num_parts, part.nodes_per_part
@@ -145,18 +160,25 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
     data_axis, graph_axis = 'data', net.graph_axis
     nl = part.nodes_per_part
 
+    bucket_spec = part.bucket_spec
+    n_split = 6 if net.overlap else 0
+
     def local_loss(params, batch_stats, feats, targets, senders_l,
-                   receivers_l, edge_mask, send_idx, send_mask, node_mask):
+                   receivers_l, edge_mask, send_idx, send_mask, node_mask,
+                   *extra):
         # index tables are sharded over 'graph' only; mark them varying over
         # 'data' too so mask-derived BN counts may psum over both axes
         # (numerically a no-op — every data shard sees the same tables).
         node_mask = jax.lax.pcast(node_mask, (data_axis,), to='varying')
+        in_deg = extra[0] if bucket_spec is not None else None
+        split = (tuple(x[0] for x in extra[-n_split:]) if n_split else None)
         g = _local_graph(nl, senders_l[0], receivers_l[0], edge_mask[0],
-                         node_mask[0])
+                         node_mask[0], bucket_spec=bucket_spec,
+                         in_deg=None if in_deg is None else in_deg[0])
         pred, mutated = net.apply(
             {'params': params, 'batch_stats': batch_stats},
             g, feats[0, 0], send_idx, send_mask, train=True,
-            mutable=['batch_stats'])
+            mutable=['batch_stats'], split=split)
         loss = (pred - targets[0]) ** 2
         # pred is already invarying over 'graph' (readout psum), so only the
         # data axis needs averaging; psum'd BN statistics are already
@@ -165,13 +187,15 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
 
     table_spec = P(graph_axis)
 
+    n_tables = (7 if bucket_spec is not None else 6) + n_split
+
     def loss_fn(params, batch_stats, feats, targets, *consts):
         f = shard_map(
             local_loss, mesh=mesh,
             in_specs=(P(), P(),                  # params/stats replicated
                       P(data_axis, graph_axis),  # feats [D, G, Nl, F]
                       P(data_axis),               # targets [D]
-                      *([table_spec] * 6)),
+                      *([table_spec] * n_tables)),
             out_specs=(P(), P()))
         return f(params, batch_stats, feats, targets, *consts)
 
@@ -187,9 +211,17 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
     def put_consts():
         # put_global handles both single- and multi-process meshes
         from pna_tpu.parallel.multihost import put_global
-        return tuple(put_global(x, mesh, table_spec) for x in
-                     (part.senders_local, part.receivers_local, part.edge_mask,
-                      part.send_idx, part.send_mask, part.node_mask))
+        tables = (part.senders_local, part.receivers_local, part.edge_mask,
+                  part.send_idx, part.send_mask, part.node_mask)
+        if bucket_spec is not None:
+            tables = tables + (part.in_deg,)
+        if net.overlap:
+            from pna_tpu.parallel.partition import split_edges
+            sp = split_edges(part)
+            tables = tables + (sp.senders_local, sp.receivers_local,
+                               sp.mask_local, sp.senders_bound,
+                               sp.receivers_bound, sp.mask_bound)
+        return tuple(put_global(x, mesh, table_spec) for x in tables)
 
     return step, put_consts, tx
 

@@ -56,8 +56,28 @@ class EdgePartition:
     node_mask: np.ndarray        # [P, Nl] bool — real (non-padding) nodes
     # locality reordering (reorder='locality'): node_order[i] = ORIGINAL node id
     # living at partitioned position i.  Feed features as feats[node_order]
-    # (see scatter_features); None = identity (no reordering).
+    # (see scatter_features); None = identity (no reordering).  After
+    # :func:`bucketize_partition` the array is full-length [P*Nl] with -1 at
+    # dummy slots (real nodes are interleaved with bucket padding).
     node_order: Optional[np.ndarray] = None
+    # degree-bucketed local layout (:func:`bucketize_partition`): static
+    # ((degree, capacity), ...) shared by every part, plus the true per-node
+    # in-degree [P, Nl].  None = plain receiver-grouped layout.
+    bucket_spec: Optional[Tuple[Tuple[int, int], ...]] = None
+    in_deg: Optional[np.ndarray] = None
+
+    def _positions(self) -> np.ndarray:
+        """pos[i] = partitioned position of ORIGINAL node i."""
+        n = self.num_nodes
+        inv = np.empty(n, dtype=np.int64)
+        if self.node_order is None:
+            inv[:] = np.arange(n)
+        elif len(self.node_order) == n:
+            inv[self.node_order] = np.arange(n)
+        else:   # full-length order with -1 dummy slots (bucketized)
+            real = np.nonzero(self.node_order >= 0)[0]
+            inv[self.node_order[real]] = real
+        return inv
 
     def scatter_features(self, feats: np.ndarray) -> np.ndarray:
         """Global [num_nodes, F] features -> sharded [P, Nl, F] layout
@@ -65,20 +85,14 @@ class EdgePartition:
         n, f = feats.shape
         nl, p = self.nodes_per_part, self.num_parts
         out = np.zeros((p * nl, f), dtype=feats.dtype)
-        src = feats if self.node_order is None else feats[self.node_order]
-        out[:n] = src
+        out[self._positions()] = feats
         return out.reshape(p, nl, f)
 
     def gather_outputs(self, out: np.ndarray) -> np.ndarray:
         """Sharded [P, Nl, F] outputs -> global [num_nodes, F] in ORIGINAL
         node order (inverse of scatter_features)."""
         p, nl, f = out.shape
-        flat = out.reshape(p * nl, f)[:self.num_nodes]
-        if self.node_order is None:
-            return flat
-        inv = np.empty(self.num_nodes, dtype=np.int64)
-        inv[self.node_order] = np.arange(self.num_nodes)
-        return flat[inv]
+        return out.reshape(p * nl, f)[self._positions()]
 
 
 def _partition_indices_numpy(senders, receivers, nl, num_parts, n_nodes,
@@ -209,6 +223,184 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
         senders_local=senders_local, receivers_local=receivers_local,
         edge_mask=edge_mask, send_idx=send_idx, send_mask=send_mask,
         node_mask=node_mask, node_order=node_order)
+
+
+@dataclass
+class SplitEdges:
+    """Static-shape split of each part's edges into LOCAL-sender edges
+    (sender owned by this part — aggregation independent of the halo
+    exchange) and BOUNDARY edges (sender arrives in the halo buffer).
+
+    This is what makes comm/compute overlap *possible*: with the split, the
+    local partial aggregation has no data dependence on the ``all_to_all``,
+    so XLA's latency-hiding scheduler can run it between the collective's
+    start/done pair (the fused ghost-table formulation serializes — the
+    edge gather depends on the concat of the received halo).
+    """
+    senders_local: np.ndarray     # [P, Kl] int32 — local node ids
+    receivers_local: np.ndarray   # [P, Kl] int32
+    mask_local: np.ndarray        # [P, Kl] bool
+    senders_bound: np.ndarray     # [P, Kb] int32 — ids into the halo buffer
+    receivers_bound: np.ndarray   # [P, Kb] int32
+    mask_bound: np.ndarray        # [P, Kb] bool
+
+
+def split_edges(part: EdgePartition, pad_multiple: int = 8) -> SplitEdges:
+    """Split a (non-bucketized) partition's edges by sender locality."""
+    assert part.bucket_spec is None, "split_edges needs the plain layout"
+    Pn, nl = part.num_parts, part.nodes_per_part
+    loc_idx, bnd_idx = [], []
+    for p in range(Pn):
+        em = part.edge_mask[p]
+        s = part.senders_local[p]
+        loc_idx.append(np.nonzero(em & (s < nl))[0])
+        bnd_idx.append(np.nonzero(em & (s >= nl))[0])
+    kl = max(max((len(i) for i in loc_idx), default=0), 1)
+    kb = max(max((len(i) for i in bnd_idx), default=0), 1)
+    kl = -(-kl // pad_multiple) * pad_multiple
+    kb = -(-kb // pad_multiple) * pad_multiple
+    sl = np.zeros((Pn, kl), np.int32)
+    rl = np.zeros((Pn, kl), np.int32)
+    ml = np.zeros((Pn, kl), bool)
+    sb = np.zeros((Pn, kb), np.int32)
+    rb = np.zeros((Pn, kb), np.int32)
+    mb = np.zeros((Pn, kb), bool)
+    for p in range(Pn):
+        li, bi = loc_idx[p], bnd_idx[p]
+        sl[p, :len(li)] = part.senders_local[p][li]
+        rl[p, :len(li)] = part.receivers_local[p][li]
+        ml[p, :len(li)] = True
+        sb[p, :len(bi)] = part.senders_local[p][bi] - nl
+        rb[p, :len(bi)] = part.receivers_local[p][bi]
+        mb[p, :len(bi)] = True
+    return SplitEdges(senders_local=sl, receivers_local=rl, mask_local=ml,
+                      senders_bound=sb, receivers_bound=rb, mask_bound=mb)
+
+
+def bucketize_partition(part: EdgePartition,
+                        max_buckets: int = 4) -> EdgePartition:
+    """Rewrite a partition's per-part edge lists into the degree-bucketed
+    static layout (the measured-fastest aggregation backend on v5e,
+    BENCH_kernels.json), so ``PNALayerFused(kernel='bucketed')`` runs inside
+    the distributed step with zero gathers/scatters in the aggregation.
+
+    The bucket classes and capacities (``bucket_spec``) are chosen globally —
+    identical on every part — so the compiled SPMD program is uniform.  Local
+    node ids are permuted per part (nodes grouped by in-degree class, real
+    nodes first within each class in their previous order); ``send_idx``
+    values and local sender ids are relabeled, ghost-table offsets shift from
+    the old ``Nl`` to the new one, and ``node_order`` becomes a full-length
+    [P*Nl_new] map with -1 at dummy slots (``scatter_features`` /
+    ``gather_outputs`` / ``full_graph`` all honor it).
+    """
+    from pna_tpu.graph import _choose_classes, _round_up
+    Pn, nl_old = part.num_parts, part.nodes_per_part
+    assert part.bucket_spec is None, "partition already bucketized"
+
+    deg = np.zeros((Pn, nl_old), np.int64)
+    for p in range(Pn):
+        np.add.at(deg[p], part.receivers_local[p][part.edge_mask[p]], 1)
+        deg[p][~part.node_mask[p]] = 0
+
+    counts: Dict[int, int] = {}
+    for p in range(Pn):
+        for d in deg[p][part.node_mask[p]]:
+            counts[int(d)] = counts.get(int(d), 0) + 1
+    cls_of = _choose_classes(counts, max_buckets)
+    cls_of[0] = 0
+    max_d_obs = int(deg.max(initial=0))
+    cls_arr = np.zeros(max_d_obs + 1, np.int64)
+    for d, D in cls_of.items():
+        cls_arr[d] = D
+
+    # capacity per class = max real count over parts, sublane-aligned
+    caps: Dict[int, int] = {}
+    for p in range(Pn):
+        dp = cls_arr[deg[p][part.node_mask[p]]]
+        for D, c in zip(*np.unique(dp, return_counts=True)):
+            caps[int(D)] = max(caps.get(int(D), 0), int(c))
+    if not caps:
+        caps = {0: 1}
+    caps = {d: _round_up(c, 8) for d, c in caps.items()}
+    spec = tuple(sorted((int(d), int(c)) for d, c in caps.items()))
+    node_off: Dict[int, int] = {}
+    edge_off: Dict[int, int] = {}
+    n_off = e_off = 0
+    for d, c in spec:
+        node_off[d] = n_off
+        edge_off[d] = e_off
+        n_off += c
+        e_off += c * d
+    nl_new, el_new = n_off, max(e_off, 8)
+
+    senders_local = np.zeros((Pn, el_new), np.int32)
+    receivers_local = np.zeros((Pn, el_new), np.int32)
+    edge_mask = np.zeros((Pn, el_new), bool)
+    node_mask = np.zeros((Pn, nl_new), bool)
+    in_deg = np.zeros((Pn, nl_new), np.float32)
+    send_idx = np.zeros_like(part.send_idx)
+    node_order = np.full(Pn * nl_new, -1, np.int64)
+    H = part.halo_size
+
+    for p in range(Pn):
+        new_of_old = np.full(nl_old, -1, np.int64)
+        fill = {d: 0 for d, _ in spec}
+        for old in np.nonzero(part.node_mask[p])[0]:
+            D = int(cls_arr[deg[p, old]])
+            new_of_old[old] = node_off[D] + fill[D]
+            fill[D] += 1
+        real_new = new_of_old[part.node_mask[p]]
+        node_mask[p, real_new] = True
+        in_deg[p, real_new] = deg[p][part.node_mask[p]]
+        # original-id map for scatter/gather (old partition may itself carry
+        # a locality order)
+        old_pos = p * nl_old + np.nonzero(part.node_mask[p])[0]
+        if part.node_order is None:
+            orig = old_pos
+        else:
+            orig = part.node_order[old_pos]
+        node_order[p * nl_new + real_new] = orig
+
+        # dummy self-loop slots keep every [c, d, F] reshape dense
+        for d, c in spec:
+            if d == 0:
+                continue
+            ids = (node_off[d] + np.repeat(np.arange(c), d)).astype(np.int32)
+            senders_local[p, edge_off[d]:edge_off[d] + c * d] = ids
+            receivers_local[p, edge_off[d]:edge_off[d] + c * d] = ids
+
+        er = np.nonzero(part.edge_mask[p])[0]
+        if len(er):
+            r_old = part.receivers_local[p][er]
+            r_new = new_of_old[r_old]
+            order = np.argsort(r_new, kind='stable')
+            e_sorted = er[order]
+            r_sorted = r_new[order]
+            D_sorted = cls_arr[deg[p, r_old[order]]]
+            slot = (np.arange(len(e_sorted))
+                    - np.searchsorted(r_sorted, r_sorted, side='left'))
+            off = np.asarray([edge_off[int(D)] for D in D_sorted])
+            noffs = np.asarray([node_off[int(D)] for D in D_sorted])
+            pos = off + (r_sorted - noffs) * D_sorted + slot
+            s_old = part.senders_local[p][e_sorted]
+            local = s_old < nl_old
+            s_new = np.where(local,
+                             new_of_old[np.minimum(s_old, nl_old - 1)],
+                             nl_new + (s_old - nl_old))
+            senders_local[p, pos] = s_new.astype(np.int32)
+            receivers_local[p, pos] = r_sorted.astype(np.int32)
+            edge_mask[p, pos] = True
+
+        sm = part.send_mask[p]
+        send_idx[p][sm] = new_of_old[part.send_idx[p][sm]].astype(np.int32)
+
+    return EdgePartition(
+        num_parts=Pn, nodes_per_part=nl_new, halo_size=H,
+        edges_per_part=el_new, num_nodes=part.num_nodes,
+        senders_local=senders_local, receivers_local=receivers_local,
+        edge_mask=edge_mask, send_idx=send_idx, send_mask=part.send_mask,
+        node_mask=node_mask, node_order=node_order,
+        bucket_spec=spec, in_deg=in_deg)
 
 
 def halo_exchange(feats_local: jnp.ndarray, send_idx: jnp.ndarray,

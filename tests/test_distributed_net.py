@@ -111,6 +111,111 @@ def test_flagship_distributed_matches_oracle(d_graph, batch_norm):
                                    rtol=1e-4, atol=1e-5, err_msg=str(path))
 
 
+@pytest.mark.parametrize("d_graph", [4])
+def test_flagship_distributed_bucketed_matches_oracle(d_graph):
+    """Same as above but on a bucketized partition with kernel='bucketed':
+    the dense per-bucket bank runs inside the distributed step and still
+    matches the single-device generic-path oracle."""
+    if len(jax.devices()) < d_graph:
+        pytest.skip("not enough devices")
+    from pna_tpu.parallel.partition import bucketize_partition
+    num_nodes, num_edges, F = 48, 200, 6
+    send, recv = powerlaw_graph(num_nodes, num_edges, seed=2)
+    pairs = np.unique(send * num_nodes + recv)
+    send, recv = pairs // num_nodes, pairs % num_nodes
+    part = bucketize_partition(partition_edges(send, recv, num_nodes,
+                                               d_graph))
+    assert part.bucket_spec is not None
+    net = DistributedPNANet(hidden_dim=8, out_dim=8, n_layers=2, towers=2,
+                            aggregators=AGGS, scalers=SCAL, avg_d=AVG_D,
+                            batch_norm=True, residual=True,
+                            bn_axes=('data', 'graph'), kernel='bucketed')
+    params, stats = init_net(net, part, F, seed=0)
+    g_full = full_graph(part, send, recv)
+    nl = part.nodes_per_part
+
+    mesh = Mesh(np.asarray(jax.devices()[:d_graph]).reshape(1, d_graph),
+                ('data', 'graph'))
+    step, put_consts, tx = make_distributed_train_step(
+        part, mesh, net, tx=optax.sgd(1e-2))
+    feats_np = np.zeros((1, d_graph * nl, F), np.float32)
+    rng_f = np.random.RandomState(0).randn(num_nodes, F).astype(np.float32)
+    feats_np[0] = part.scatter_features(rng_f).reshape(d_graph * nl, F)
+    targets_np = np.asarray([0.7], np.float32)
+
+    # oracle: the same module single-device (falls back to the generic
+    # segment path because g_full carries no bucket_spec)
+    o_loss, o_params, o_stats = _oracle_step(
+        net, params, stats, g_full, jnp.asarray(feats_np),
+        jnp.asarray(targets_np), tx)
+
+    feats_sharded = jax.device_put(
+        jnp.asarray(feats_np.reshape(1, d_graph, nl, F)),
+        NamedSharding(mesh, P('data', 'graph')))
+    targets = jax.device_put(jnp.asarray(targets_np),
+                             NamedSharding(mesh, P('data')))
+    new_params, new_stats, _, loss = step(params, stats, tx.init(params),
+                                          feats_sharded, targets,
+                                          *put_consts())
+
+    np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-4)
+    for path, a in jax.tree_util.tree_leaves_with_path(new_params):
+        b = o_params
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(path))
+    for path, a in jax.tree_util.tree_leaves_with_path(new_stats):
+        b = o_stats
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
+
+
+@pytest.mark.parametrize("d_graph", [4])
+def test_flagship_distributed_overlap_matches_oracle(d_graph):
+    """overlap=True (split local/boundary aggregation around the all_to_all,
+    partial moment sketches combined exactly) still matches the
+    single-device oracle: loss, grads and BN stats."""
+    if len(jax.devices()) < d_graph:
+        pytest.skip("not enough devices")
+    send, recv, part, net, params, stats, g_full = _setup(d_graph, True)
+    net = net.clone(overlap=True)
+    nl, F = part.nodes_per_part, 6
+    num_nodes = 48
+
+    mesh = Mesh(np.asarray(jax.devices()[:d_graph]).reshape(1, d_graph),
+                ('data', 'graph'))
+    step, put_consts, tx = make_distributed_train_step(
+        part, mesh, net, tx=optax.sgd(1e-2))
+    feats_np = np.random.RandomState(0).randn(
+        1, d_graph * nl, F).astype(np.float32)
+    feats_np[:, num_nodes:] = 0.0
+    targets_np = np.asarray([0.7], np.float32)
+
+    o_loss, o_params, o_stats = _oracle_step(
+        net, params, stats, g_full, jnp.asarray(feats_np),
+        jnp.asarray(targets_np), tx)
+
+    feats_sharded = jax.device_put(
+        jnp.asarray(feats_np.reshape(1, d_graph, nl, F)),
+        NamedSharding(mesh, P('data', 'graph')))
+    targets = jax.device_put(jnp.asarray(targets_np),
+                             NamedSharding(mesh, P('data')))
+    new_params, new_stats, _, loss = step(params, stats, tx.init(params),
+                                          feats_sharded, targets,
+                                          *put_consts())
+
+    np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-4)
+    for path, a in jax.tree_util.tree_leaves_with_path(new_params):
+        b = o_params
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(path))
+
+
 def test_flagship_data_and_graph_parallel():
     """2x4 mesh (data x graph), batch_norm off so per-data-element oracle
     semantics are well defined; loss and updated params match."""

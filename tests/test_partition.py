@@ -102,6 +102,59 @@ def test_native_and_numpy_builders_agree():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("num_parts", [2, 4])
+def test_bucketize_partition_structure(num_parts):
+    """bucketize_partition preserves the edge set (relabeled), keeps a
+    uniform static spec across parts, and scatter/gather stay inverses."""
+    from pna_tpu.parallel.partition import bucketize_partition
+    num_nodes, num_edges, F = 64, 400, 5
+    send, recv = powerlaw_graph(num_nodes, num_edges, seed=5)
+    pairs = np.unique(send * num_nodes + recv)
+    send, recv = pairs // num_nodes, pairs % num_nodes
+    part = partition_edges(send, recv, num_nodes, num_parts)
+    bp = bucketize_partition(part)
+
+    assert bp.bucket_spec is not None
+    assert bp.nodes_per_part == sum(c for _, c in bp.bucket_spec)
+    assert bp.edges_per_part >= sum(d * c for d, c in bp.bucket_spec)
+    assert int(bp.edge_mask.sum()) == len(send)
+    assert int(bp.node_mask.sum()) == num_nodes
+
+    # scatter -> gather round-trips original features exactly
+    feats = np.random.RandomState(0).randn(num_nodes, F).astype(np.float32)
+    lay = bp.scatter_features(feats)
+    np.testing.assert_array_equal(bp.gather_outputs(lay), feats)
+
+    # every real edge (orig sender -> orig receiver) survives with the same
+    # multiplicity; in_deg matches the true degree; real edges occupy the
+    # first deg slots of their receiver's bucket row
+    pos = bp._positions()                       # orig id -> position
+    nl = bp.nodes_per_part
+    got = []
+    for p in range(bp.num_parts):
+        em = bp.edge_mask[p]
+        r_new = bp.receivers_local[p][em]
+        s_new = bp.senders_local[p][em]
+        assert (s_new < nl).sum() + (s_new >= nl).sum() == em.sum()
+        # local senders resolve through position map; ghosts through send_idx
+        for s, r in zip(s_new, r_new):
+            r_orig = int(np.nonzero(pos == p * nl + r)[0][0])
+            if s < nl:
+                s_orig = int(np.nonzero(pos == p * nl + s)[0][0])
+            else:
+                q, k = divmod(int(s) - nl, bp.halo_size)
+                assert bp.send_mask[q, p, k]
+                s_loc = int(bp.send_idx[q, p, k])
+                s_orig = int(np.nonzero(pos == q * nl + s_loc)[0][0])
+            got.append((s_orig, r_orig))
+    assert sorted(got) == sorted(zip(send.tolist(), recv.tolist()))
+
+    deg = np.zeros(num_nodes, np.int64)
+    np.add.at(deg, recv, 1)
+    flat_in_deg = bp.in_deg.reshape(-1)[pos]
+    np.testing.assert_array_equal(flat_in_deg.astype(np.int64), deg)
+
+
 def test_partition_structure():
     send, recv = powerlaw_graph(40, 120, seed=0)
     part = partition_edges(send, recv, 40, 4)
