@@ -137,11 +137,20 @@ class PNALayerFused(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, h, e=None, train: bool = False,
-                 sender_table=None):
+                 sender_table=None, overlap=None):
         """``sender_table`` (distributed path): a [Nl + halo, F] ghost feature
         table — local node features followed by halo-exchanged remote sender
         features — that ``graph.senders`` indexes into.  ``None`` (default)
-        gathers senders from ``h`` itself (single-device semantics)."""
+        gathers senders from ``h`` itself (single-device semantics).
+
+        ``overlap`` (distributed path, comm/compute overlap): a tuple
+        ``(halo, senders_l, receivers_l, mask_l, senders_b, receivers_b,
+        mask_b)`` from ``pna_tpu.parallel.partition.split_edges`` — the
+        LOCAL-sender edges are pretransformed and partially aggregated with
+        no data dependence on ``halo`` (the ``all_to_all`` result), so the
+        latency-hiding scheduler can run them during the collective; the
+        boundary partial is combined afterwards (exact — the bank factors
+        through a commutative moment sketch, pna_tpu/ops/partial_stats.py)."""
         in_dim = h.shape[-1]
         T = self.towers
         assert (not self.divide_input) or in_dim % T == 0
@@ -205,54 +214,87 @@ class PNALayerFused(nn.Module):
         # ---- pretrans: split-kernel first layer, no concat materialized ----
         from pna_tpu.ops import bucketed
         hb = h.astype(cdt)
-        src = (hb if sender_table is None
-               else sender_table.astype(cdt))[graph.senders]   # [E, in_dim]
-        if graph.bucket_spec is not None:
-            # receiver "gather" is a broadcast in the bucketed layout
-            dst = bucketed.expand_to_edges(hb, graph.bucket_spec)
-        else:
-            dst = hb[graph.receivers]
         k0, b0 = pre_ks[0], pre_bs[0]
         k_src, k_dst = k0[:, :Ft], k0[:, Ft:2 * Ft]
-        if self.divide_input:
-            msg = (ein(src.reshape(E, T, Ft), k_src)
-                   + ein(dst.reshape(E, T, Ft), k_dst))
+
+        def pretrans(src, dst, eterm=None):
+            K = src.shape[0]
+            if self.divide_input:
+                m = (ein(src.reshape(K, T, Ft), k_src)
+                     + ein(dst.reshape(K, T, Ft), k_dst))
+            else:
+                m = ein_shared(src, k_src) + ein_shared(dst, k_dst)
+            if eterm is not None:
+                m = m + ein_shared(eterm, k0[:, 2 * Ft:])
+            m = m + b0
+            for i in range(1, self.pretrans_layers):
+                m = ein(jax.nn.relu(m), pre_ks[i]) + pre_bs[i]
+            return m      # [K, T, Ft], flat view is tower-major [K, T*Ft]
+
+        from pna_tpu.ops import fused_vjp, pallas_bank, partial_stats
+        scalers_ok = all(s in fused_vjp._SCALERS for s in self.scalers)
+
+        Z = deg = None
+        if overlap is not None:
+            # ---- split local/boundary aggregation (comm/compute overlap) --
+            if self.edge_features:
+                raise ValueError("overlap path has no edge-feature support")
+            if not (scalers_ok and partial_stats.supports(self.aggregators)):
+                raise ValueError("overlap path requires sketch-decomposable "
+                                 f"aggregators/scalers, got "
+                                 f"{self.aggregators}/{self.scalers}")
+            halo, s_l, r_l, m_l, s_b, r_b, m_b = overlap
+            msg_l = pretrans(hb[s_l], hb[r_l])
+            sk_l = partial_stats.partial_sketch(
+                msg_l.reshape(s_l.shape[0], T * Ft), r_l, N, m_l)
+            msg_b = pretrans(halo.astype(cdt)[s_b], hb[r_b])
+            sk_b = partial_stats.partial_sketch(
+                msg_b.reshape(s_b.shape[0], T * Ft), r_b, N, m_b)
+            sk = partial_stats.combine(sk_l, sk_b)
+            Z = partial_stats.finalize_bank(sk, tuple(self.aggregators))
+            deg = sk.cnt
         else:
-            msg = ein_shared(src, k_src) + ein_shared(dst, k_dst)
-        if self.edge_features:
-            msg = msg + ein_shared(e, k0[:, 2 * Ft:])
-        msg = msg + b0
-        for i in range(1, self.pretrans_layers):
-            msg = ein(jax.nn.relu(msg), pre_ks[i]) + pre_bs[i]
-        # msg: [E, T, Ft], flat view is tower-major [E, T*Ft]
+            src = (hb if sender_table is None
+                   else sender_table.astype(cdt))[graph.senders]  # [E, in_dim]
+            if graph.bucket_spec is not None:
+                # receiver "gather" is a broadcast in the bucketed layout
+                dst = bucketed.expand_to_edges(hb, graph.bucket_spec)
+            else:
+                dst = hb[graph.receivers]
+            msg = pretrans(src, dst, e if self.edge_features else None)
 
         # ---- aggregation ----
-        from pna_tpu.ops import fused_vjp, pallas_bank
-        scalers_ok = all(s in fused_vjp._SCALERS for s in self.scalers)
         no_ident = 'identity' not in self.aggregators
         kern = self.kernel
-        bucket_fast = (graph.bucket_spec is not None and scalers_ok
+        have_z = Z is not None                     # overlap path already did
+        bucket_fast = (not have_z and graph.bucket_spec is not None
+                       and scalers_ok
                        and no_ident and bucketed.supports(self.aggregators)
                        and kern in ('auto', 'bucketed'))
-        ell_fast = (graph.nbr_edge_ids is not None and no_ident
+        ell_fast = (not have_z and graph.nbr_edge_ids is not None
+                    and no_ident
                     and fused_vjp.supports(self.aggregators, self.scalers)
                     and kern in ('auto', 'ell'))
-        pallas_fast = (graph.edge_ptr is not None and scalers_ok and no_ident
+        pallas_fast = (not have_z and graph.edge_ptr is not None
+                       and scalers_ok and no_ident
                        and pallas_bank.supports(self.aggregators)
                        and kern == 'pallas')
-        if kern == 'pallas' and not pallas_fast:
+        if kern == 'pallas' and not (pallas_fast or have_z):
             raise ValueError("kernel='pallas' requires graph.edge_ptr "
                              "(batch_graphs(sort_edges=True)) and supported "
                              "aggregators/scalers")
         if bucket_fast:
             ell_fast = pallas_fast = False
-        if bucket_fast or ell_fast or pallas_fast:
+        if have_z or bucket_fast or ell_fast or pallas_fast:
             # store the edge messages (the widest tensor of the layer) in the
             # compute dtype: the banks upcast to f32 at the reduction inputs
             # (convert fuses into the reduce), so accumulation stays f32 while
             # HBM traffic through [E, T*Ft] halves under bf16
-            msg = msg.astype(cdt)
-            if pallas_fast:
+            if not have_z:
+                msg = msg.astype(cdt)
+            if have_z:
+                pass                               # overlap path set Z/deg
+            elif pallas_fast:
                 bank = pallas_bank.make_pallas_raw_bank(
                     graph.receivers, graph.edge_mask, graph.edge_ptr,
                     max_degree=self.max_degree,
