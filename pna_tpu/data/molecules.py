@@ -143,14 +143,61 @@ def collate_records(records: Sequence[dict],
     return g, labels
 
 
+def derive_bucket_caps(records: Sequence[dict], batch_size: int,
+                       max_buckets: int = 4) -> Dict[int, int]:
+    """Dataset-stable degree-bucket capacities for ``batch_iterator``.
+
+    With per-batch bucketing every batch gets its own ``bucket_spec`` —
+    a recompile per batch.  Stable caps make EVERY batch one single static
+    shape (one compiled train step for the whole run).  The bound is
+    airtight for any batch the iterator can produce: degree classes come
+    from the global degree histogram (so every degree is covered) and each
+    class capacity is the sum of the ``batch_size`` largest per-graph class
+    counts over the multiset ``records + records[:batch_size]`` (short final
+    batches are filled from the head of the record list, so batch members
+    always draw from that multiset).
+    """
+    from pna_tpu.graph import _choose_classes, _round_up
+    per_graph = []   # degree histogram per record
+    counts: Dict[int, int] = {}
+    for r in records:
+        n = r['node_feats'].shape[0]
+        deg = np.bincount(np.asarray(r['receivers']), minlength=n)
+        u, c = np.unique(deg, return_counts=True)
+        per_graph.append(dict(zip(u.tolist(), c.tolist())))
+        for d, k in zip(u.tolist(), c.tolist()):
+            counts[int(d)] = counts.get(int(d), 0) + int(k)
+    cls_of = _choose_classes(counts, max_buckets)
+    caps: Dict[int, List[int]] = {}
+    pool = per_graph + per_graph[:batch_size]
+    for h in pool:
+        cls_counts: Dict[int, int] = {}
+        for d, k in h.items():
+            D = cls_of.get(int(d), int(d))
+            cls_counts[D] = cls_counts.get(D, 0) + k
+        for D, k in cls_counts.items():
+            caps.setdefault(D, []).append(k)
+    out = {int(D): int(sum(sorted(ks)[-batch_size:]))
+           for D, ks in caps.items()}
+    # degree-0 class absorbs the batcher's padding nodes (+1 garbage node,
+    # rounded to the node_pad_multiple of 8)
+    out[0] = max(out.get(0, 0), 0) + 8
+    return {d: _round_up(c, 8) for d, c in out.items()}
+
+
 def batch_iterator(records: List[dict], batch_size: int, seed: int,
                    shuffle: bool = True,
                    node_pad_multiple: int = 64,
-                   edge_pad_multiple: int = 256):
+                   edge_pad_multiple: int = 256,
+                   bucket_caps: Optional[Dict[int, int]] = None):
     """Yield (Graph, labels) minibatches with bucketed padding.
 
     Padding to multiples keeps the number of distinct compiled shapes small
-    (SURVEY §7.3: avoid recompilation storms while keeping padding waste low).
+    (SURVEY §7.3: avoid recompilation storms while keeping padding waste
+    low).  With ``bucket_caps`` (from :func:`derive_bucket_caps`) batches
+    use the degree-bucketed static layout instead — a SINGLE compiled shape
+    for the whole run, and the gather/scatter-free bucketed aggregation
+    path in ``PNALayerFused`` (the measured-fastest backend on v5e).
     """
     order = np.arange(len(records))
     if shuffle:
@@ -159,13 +206,23 @@ def batch_iterator(records: List[dict], batch_size: int, seed: int,
         chunk = [records[j] for j in order[i:i + batch_size]]
         n_valid = len(chunk)
         if n_valid < batch_size:  # keep batch shape static; mask the fillers
-            chunk = chunk + chunk[:batch_size - n_valid]
-        n_nodes = sum(r['node_feats'].shape[0] for r in chunk) + 1
-        n_edges = sum(len(r['senders']) for r in chunk)
-        npad = -(-n_nodes // node_pad_multiple) * node_pad_multiple
-        epad = max(-(-n_edges // edge_pad_multiple) * edge_pad_multiple,
-                   edge_pad_multiple)
-        g, labels = collate_records(chunk, n_node_pad=npad, n_edge_pad=epad)
+            # fill from the head of the record list (covered by the
+            # derive_bucket_caps bound; also fixes batches shorter than
+            # batch_size/2, which chunk-repetition could not fill)
+            need = batch_size - n_valid
+            filler = [records[k % len(records)] for k in range(need)]
+            chunk = chunk + filler
+        if bucket_caps is not None:
+            g, labels = collate_records(chunk, bucket_by_degree=True,
+                                        bucket_caps=bucket_caps)
+        else:
+            n_nodes = sum(r['node_feats'].shape[0] for r in chunk) + 1
+            n_edges = sum(len(r['senders']) for r in chunk)
+            npad = -(-n_nodes // node_pad_multiple) * node_pad_multiple
+            epad = max(-(-n_edges // edge_pad_multiple) * edge_pad_multiple,
+                       edge_pad_multiple)
+            g, labels = collate_records(chunk, n_node_pad=npad,
+                                        n_edge_pad=epad)
         if n_valid < batch_size:
             import jax.numpy as jnp
             gm = np.asarray(g.graph_mask).copy()

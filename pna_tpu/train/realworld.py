@@ -97,6 +97,11 @@ class PipelineConfig:
     # restores 'latest' and continues the run exactly.
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # degree-bucketed batch layout (pna_tpu.data.molecules.derive_bucket_caps):
+    # one static shape for the whole run and the gather/scatter-free bucketed
+    # aggregation backend (measured ~2x faster than the ELL path on v5e,
+    # BENCH_kernels.json); False = per-batch padded layout
+    bucket_by_degree: bool = True
 
 
 def make_optimizer(cfg: PipelineConfig):
@@ -127,6 +132,7 @@ class RealworldTrainer:
             lambda graph: (graph, graph.node_feats.squeeze(-1)))
         self._train_step = None
         self._eval_step = None
+        self._bucket_caps = None
 
     def init_state(self, example_graph, example_labels):
         rng = jax.random.PRNGKey(self.cfg.seed)
@@ -196,7 +202,8 @@ class RealworldTrainer:
         batch_size = batch_size or self.cfg.batch_size
         losses, outs, labels_all, masks = [], [], [], []
         for graph, labels in batch_iterator(records, batch_size, seed,
-                                            shuffle=train):
+                                            shuffle=train,
+                                            bucket_caps=self._bucket_caps):
             labels_j = jnp.asarray(labels)
             if train:
                 (state['params'], state['batch_stats'], state['opt_state'],
@@ -225,8 +232,16 @@ class RealworldTrainer:
         the best validation metric and reports its test metric."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
+        if cfg.bucket_by_degree and self._bucket_caps is None:
+            from pna_tpu.data.molecules import derive_bucket_caps
+            # caps over ALL splits so val/test batches share the single
+            # static shape (shapes only — no label information crosses)
+            self._bucket_caps = derive_bucket_caps(
+                list(dataset.train) + list(dataset.val) + list(dataset.test),
+                cfg.batch_size)
         g0, l0 = next(batch_iterator(dataset.train, cfg.batch_size, 0,
-                                     shuffle=False))
+                                     shuffle=False,
+                                     bucket_caps=self._bucket_caps))
         state = self.init_state(g0, jnp.asarray(l0))
         scheduler = ReduceLROnPlateau(cfg.init_lr, cfg.lr_reduce_factor,
                                       cfg.lr_schedule_patience, cfg.min_lr)
