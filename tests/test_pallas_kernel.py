@@ -65,3 +65,37 @@ def test_sorted_sketch_matches_segment(seed, num_nodes, num_edges, F,
             ref_tmn[n] = (part == part.min(0)).sum(0)
     np.testing.assert_allclose(np.asarray(tmx), ref_tmx, atol=1e-6)
     np.testing.assert_allclose(np.asarray(tmn), ref_tmn, atol=1e-6)
+
+
+def test_pretrans_fused_sketch_matches_unfused():
+    """sorted_pretrans_sketch (in-kernel msg = u[snd] + v[recv] + e@ke) must
+    be bit-comparable to sorted_moment_sketch on the materialized messages.
+    The variant is REJECTED for production at molecular scale
+    (BENCH_kernels.json: pretrans_fused_experiment) but stays correct."""
+    import jax
+    import jax.numpy as jnp
+    from pna_tpu.ops.pallas_kernels import (sorted_moment_sketch,
+                                            sorted_pretrans_sketch)
+    rng = np.random.RandomState(7)
+    N, M, E, Fe = 300, 70, 2000, 12
+    recv = np.sort(rng.randint(0, N, E))
+    snd = rng.randint(0, N, E)
+    ptr = np.zeros(N + 1, np.int32)
+    ptr[1:] = np.searchsorted(recv, np.arange(1, N + 1))
+    u = rng.randn(N, M).astype(np.float32)
+    v = rng.randn(N, M).astype(np.float32)
+    e = rng.randn(E, Fe).astype(np.float32)
+    ke = rng.randn(Fe, M).astype(np.float32)
+    with jax.default_matmul_precision('highest'):
+        msg = jnp.asarray(u)[jnp.asarray(snd)] + jnp.asarray(v)[
+            jnp.asarray(recv)] + jnp.asarray(e) @ jnp.asarray(ke)
+        ref = sorted_moment_sketch(msg, jnp.asarray(ptr), with_ties=True,
+                                   interpret=True)
+        got = sorted_pretrans_sketch(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(snd),
+            jnp.asarray(ptr), jnp.asarray(e), jnp.asarray(ke),
+            with_ties=True, interpret=True)
+    for name, a, b in zip(('sum', 'sumsq', 'max', 'min', 'tmx', 'tmn'),
+                          ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)
