@@ -275,10 +275,22 @@ class PNALayerFused(nn.Module):
                     and no_ident
                     and fused_vjp.supports(self.aggregators, self.scalers)
                     and kern in ('auto', 'ell'))
-        pallas_fast = (not have_z and graph.edge_ptr is not None
-                       and scalers_ok and no_ident
-                       and pallas_bank.supports(self.aggregators)
-                       and kern == 'pallas')
+        # auto backend ranking (BENCH_kernels.json, v5e full-step):
+        # bucketed 9.6ms > ell 20.0ms > pallas (sorted-edge sketch, the only
+        # static-layout-free fast path; 13.1ms when forced on the molecular
+        # config and the design case for large/skewed graphs where ELL and
+        # bucketing are infeasible) > generic segment 35.9ms.  Under 'auto'
+        # the pallas kernel is selected only when neither static layout
+        # exists — exactly the large-graph regime — and only on TPU (CPU
+        # tests must opt in via pallas_interpret).
+        pallas_ok = (not have_z and graph.edge_ptr is not None
+                     and scalers_ok and no_ident
+                     and pallas_bank.supports(self.aggregators))
+        pallas_fast = pallas_ok and (
+            kern == 'pallas'
+            or (kern == 'auto' and not bucket_fast and not ell_fast
+                and (self.pallas_interpret
+                     or jax.default_backend() == 'tpu')))
         if kern == 'pallas' and not (pallas_fast or have_z):
             raise ValueError("kernel='pallas' requires graph.edge_ptr "
                              "(batch_graphs(sort_edges=True)) and supported "

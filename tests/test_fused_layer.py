@@ -114,3 +114,47 @@ def test_fused_train_mode_runs():
                                rngs={'dropout': jax.random.PRNGKey(1)},
                                mutable=['batch_stats'])
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_selects_pallas_when_no_static_layout():
+    """kernel='auto' must route to the sorted-edge Pallas sketch when the
+    graph carries only edge_ptr (no ELL table, no bucket spec) — the
+    large-graph regime — and match the generic segment path."""
+    send, recv, n = random_graph(3)
+    g = batch_graphs(
+        [dict(node_feats=np.random.RandomState(0).randn(n, 8)
+              .astype(np.float32), senders=send, receivers=recv)],
+        with_ell=False, sort_edges=True)
+    assert g.nbr_edge_ids is None and g.bucket_spec is None
+    assert g.edge_ptr is not None
+    h = jnp.asarray(np.random.RandomState(1).randn(g.node_feats.shape[0], 8)
+                    .astype(np.float32))
+
+    def make(kernel, interpret):
+        return PNALayerFused(out_dim=8, aggregators=('mean', 'max', 'min',
+                                                     'std'),
+                             scalers=('identity', 'amplification',
+                                      'attenuation'),
+                             avg_d=AVG_D, towers=2, divide_input=True,
+                             kernel=kernel, pallas_interpret=interpret)
+    layer_auto = make('auto', True)     # interpret => auto may pick pallas
+    layer_gen = make('generic', False)
+    params = layer_auto.init({'params': jax.random.PRNGKey(0)}, g, h,
+                             train=False)
+    # prove the pallas bank is what 'auto' routed to
+    from pna_tpu.ops import pallas_bank
+    calls = []
+    orig = pallas_bank.make_pallas_raw_bank
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+    pallas_bank.make_pallas_raw_bank = spy
+    try:
+        out_auto = layer_auto.apply(params, g, h, train=False)
+    finally:
+        pallas_bank.make_pallas_raw_bank = orig
+    assert calls, "auto did not select the pallas backend"
+    out_gen = layer_gen.apply(params, g, h, train=False)
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_gen),
+                               rtol=2e-4, atol=2e-4)
