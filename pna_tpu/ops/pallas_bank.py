@@ -129,16 +129,27 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
         g_max = g_max / ties_mx
         g_min = g_min / ties_mn
 
-        # one wide gather of the six node fields through receivers (TPU
-        # gather cost is per-row, flat in width)
-        fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],
-                                 axis=-1)                       # [N, 6F]
-        fe = fields[receivers]                                  # [E, 6F]
-        d_msg = (fe[:, :F] + 2.0 * msg32 * fe[:, F:2 * F]
-                 + (msg32 == fe[:, 4 * F:5 * F]).astype(jnp.float32)
-                 * fe[:, 2 * F:3 * F]
-                 + (msg32 == fe[:, 5 * F:]).astype(jnp.float32)
-                 * fe[:, 3 * F:4 * F])
+        E = receivers.shape[0]
+        if E * 6 * F * 4 <= 2 ** 31:
+            # one wide gather of the six node fields through receivers (TPU
+            # gather cost is per-row, flat in width)
+            fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],
+                                     axis=-1)                   # [N, 6F]
+            fe = fields[receivers]                              # [E, 6F]
+            d_msg = (fe[:, :F] + 2.0 * msg32 * fe[:, F:2 * F]
+                     + (msg32 == fe[:, 4 * F:5 * F]).astype(jnp.float32)
+                     * fe[:, 2 * F:3 * F]
+                     + (msg32 == fe[:, 5 * F:]).astype(jnp.float32)
+                     * fe[:, 3 * F:4 * F])
+        else:
+            # large-graph path: the [E, 6F] concat would be GBs; accumulate
+            # narrow per-field gathers instead (XLA fuses each gather into
+            # its consumer, peak extra memory stays at one [E, F] term)
+            d_msg = (g_lin[receivers] + 2.0 * msg32 * g_quad[receivers]
+                     + (msg32 == mx[receivers]).astype(jnp.float32)
+                     * g_max[receivers]
+                     + (msg32 == mn[receivers]).astype(jnp.float32)
+                     * g_min[receivers])
         if edge_mask is not None:
             d_msg = jnp.where(edge_mask[:, None], d_msg, 0.0)
         return (d_msg.astype(msg.dtype),)
