@@ -34,6 +34,12 @@ import jax.numpy as jnp
 from pna_tpu.ops.fused_vjp import EPS, _AGGS, _SCALERS
 from pna_tpu.ops.pallas_kernels import sorted_moment_sketch
 
+# backward gather strategy threshold: below this many bytes the six node
+# fields are concatenated and gathered once ([E, 6F], fastest at molecular
+# scale); above it they are gathered per-field so peak memory stays at one
+# [E, F] term (large graphs; see BENCH_kernels.json / RESULTS_largegraph)
+WIDE_GATHER_BYTES_LIMIT = 2 ** 31
+
 
 def supports(aggregators: Sequence[str]) -> bool:
     return all(a in _AGGS for a in aggregators)
@@ -130,7 +136,7 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
         g_min = g_min / ties_mn
 
         E = receivers.shape[0]
-        if E * 6 * F * 4 <= 2 ** 31:
+        if E * 6 * F * 4 <= WIDE_GATHER_BYTES_LIMIT:
             # one wide gather of the six node fields through receivers (TPU
             # gather cost is per-row, flat in width)
             fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],

@@ -142,3 +142,33 @@ def test_pallas_bank_rejects_bad_max_degree_hint():
     # a correct (or generous) hint binds fine
     make_pallas_raw_bank(g.receivers, g.edge_mask, g.edge_ptr,
                          max_degree=true_max, interpret=True)
+
+
+def test_narrow_gather_backward_matches_wide():
+    """The large-graph backward (per-field gathers) must produce the same
+    d_msg as the wide-gather path."""
+    import jax
+    import jax.numpy as jnp
+    from pna_tpu.ops import pallas_bank
+    rng = np.random.RandomState(3)
+    N, F, E = 40, 9, 300
+    recv = np.sort(rng.randint(0, N, E)).astype(np.int32)
+    ptr = np.zeros(N + 1, np.int32)
+    ptr[1:] = np.searchsorted(recv, np.arange(1, N + 1))
+    msg = rng.randn(E, F).astype(np.float32)
+    aggs = ('mean', 'max', 'min', 'std')
+
+    def grad_with(limit):
+        old = pallas_bank.WIDE_GATHER_BYTES_LIMIT
+        pallas_bank.WIDE_GATHER_BYTES_LIMIT = limit
+        try:
+            bank = pallas_bank.make_pallas_raw_bank(
+                jnp.asarray(recv), None, jnp.asarray(ptr), interpret=True)
+            f = lambda m: jnp.sum(bank(m, aggs) ** 2)
+            return np.asarray(jax.grad(f)(jnp.asarray(msg)))
+        finally:
+            pallas_bank.WIDE_GATHER_BYTES_LIMIT = old
+
+    wide = grad_with(1 << 40)
+    narrow = grad_with(0)
+    np.testing.assert_allclose(narrow, wide, rtol=1e-5, atol=1e-5)
