@@ -153,9 +153,11 @@ def derive_bucket_caps(records: Sequence[dict], batch_size: int,
     airtight for any batch the iterator can produce: degree classes come
     from the global degree histogram (so every degree is covered) and each
     class capacity is the sum of the ``batch_size`` largest per-graph class
-    counts over the multiset ``records + records[:batch_size]`` (short final
-    batches are filled from the head of the record list, so batch members
-    always draw from that multiset).
+    counts over the multiset ``records + cycle(records)[:batch_size]``
+    (short final batches are filled from the cycled record list in
+    ``batch_iterator`` — when the dataset is smaller than the batch size the
+    filler wraps, so the pool must repeat records accordingly, not stop at
+    ``records[:batch_size]``).
     """
     from pna_tpu.graph import _choose_classes, _round_up
     per_graph = []   # degree histogram per record
@@ -169,7 +171,9 @@ def derive_bucket_caps(records: Sequence[dict], batch_size: int,
             counts[int(d)] = counts.get(int(d), 0) + int(k)
     cls_of = _choose_classes(counts, max_buckets)
     caps: Dict[int, List[int]] = {}
-    pool = per_graph + per_graph[:batch_size]
+    # exact multiset of the worst-case filler batch_iterator can append
+    filler_pool = [per_graph[k % len(per_graph)] for k in range(batch_size)]
+    pool = per_graph + filler_pool
     for h in pool:
         cls_counts: Dict[int, int] = {}
         for d, k in h.items():

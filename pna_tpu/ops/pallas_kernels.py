@@ -481,6 +481,12 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
     """
     N, M = u.shape
     assert v.shape == (N, M)
+    if not pretrans_fits_vmem(N, u.dtype.itemsize):
+        raise ValueError(
+            f"sorted_pretrans_sketch: resident u tile for N={N} "
+            f"({u.dtype}) exceeds the VMEM budget; use the unfused "
+            "sorted_moment_sketch path instead (check pretrans_fits_vmem "
+            "before calling)")
     E = senders.shape[0]
     has_e = e_feats is not None
     n_tiles = -(-N // TILE_N)

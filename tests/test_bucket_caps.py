@@ -26,8 +26,13 @@ def test_stable_caps_single_shape():
             ngi = np.asarray(g.node_graph_ids)
             nm = np.asarray(g.node_mask)
             total_graphs += int(np.asarray(g.graph_mask).sum())
-            # every real node's graph id is a real graph
-            assert np.asarray(g.graph_mask)[ngi[nm]].all() or True
+            # real nodes carry in-range graph ids (filler graphs of short
+            # batches keep real nodes but are masked in graph_mask, so the
+            # map is node->valid id, not node->unmasked graph) ...
+            gm = np.asarray(g.graph_mask)
+            assert (ngi[nm] >= 0).all() and (ngi[nm] < gm.shape[0]).all()
+            # ... and every unmasked graph owns at least one real node
+            assert np.isin(np.flatnonzero(gm), ngi[nm]).all()
     assert len(shapes) == 1, shapes
     assert len(specs) == 1
     # 90 records / 16 per batch -> 6 batches/epoch, last padded+masked to 10

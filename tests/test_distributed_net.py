@@ -214,6 +214,12 @@ def test_flagship_distributed_overlap_matches_oracle(d_graph):
             b = b[k.key]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=str(path))
+    for path, a in jax.tree_util.tree_leaves_with_path(new_stats):
+        b = o_stats
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
 
 
 def test_flagship_data_and_graph_parallel():
