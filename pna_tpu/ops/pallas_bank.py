@@ -56,6 +56,14 @@ def _assemble(aggregators, s, sq, mx, mn, cnt):
     return agg, (mean, var_raw, std)
 
 
+def _zero_ct(x):
+    """Cotangent of a non-differentiated layout input (float0 for int/bool)."""
+    import numpy as np
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
 def make_pallas_raw_bank(receivers: jnp.ndarray,
                          edge_mask: Optional[jnp.ndarray],
                          edge_ptr: jnp.ndarray,
@@ -66,7 +74,12 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
 
     ``max_degree``: static in-degree bound (caps the kernel's segmented-scan
     depth); 0 = unknown.  ``interpret`` runs the kernel in interpreter mode
-    (CPU tests)."""
+    (CPU tests).
+
+    The layout arrays ride through the custom-VJP boundary as explicit
+    arguments (zero cotangents), NOT closure — inside ``shard_map`` they are
+    tracers, and ``custom_vjp`` does not support closed-over tracers (this is
+    what lets ``kernel='pallas'`` run in the distributed step)."""
     if edge_mask is not None:
         n_real = jnp.sum(edge_mask.astype(jnp.int32))
         ptr = jnp.minimum(edge_ptr, n_real).astype(jnp.int32)
@@ -87,78 +100,92 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
                 f"{true_max}: the segmented scan would under-reduce max/min")
     deg = (ptr[1:] - ptr[:-1]).astype(jnp.float32)              # [N]
     cnt = jnp.maximum(deg, 1.0)
+    em = (edge_mask if edge_mask is not None
+          else jnp.ones(receivers.shape, bool))
 
-    @partial(jax.custom_vjp, nondiff_argnums=(1,))
     def raw(msg, aggregators):
-        s, sq, mx, mn = sorted_moment_sketch(
-            msg.astype(jnp.float32), ptr, with_ties=False,
-            max_degree=max_degree, interpret=interpret)
-        out, _ = _assemble(aggregators, s, sq, mx, mn, cnt)
-        return out
-
-    def fwd(msg, aggregators):
-        s, sq, mx, mn, ties_mx, ties_mn = sorted_moment_sketch(
-            msg.astype(jnp.float32), ptr, with_ties=True,
-            max_degree=max_degree, interpret=interpret)
-        out, (mean, var_raw, std) = _assemble(aggregators, s, sq, mx, mn, cnt)
-        return out, (msg, mean, var_raw, std, mx, mn, ties_mx, ties_mn)
-
-    def bwd(aggregators, res, d_agg):
-        (msg, mean, var_raw, std, mx, mn, ties_mx, ties_mn) = res
-        msg32 = msg.astype(jnp.float32)
-        N, F = mean.shape
-
-        g_lin = jnp.zeros((N, F), jnp.float32)
-        g_quad = jnp.zeros((N, F), jnp.float32)
-        g_max = jnp.zeros((N, F), jnp.float32)
-        g_min = jnp.zeros((N, F), jnp.float32)
-        inv_cnt = (1.0 / cnt)[:, None]
-
-        for i, a in enumerate(aggregators):
-            d = d_agg[:, i, :].astype(jnp.float32)
-            if a == 'sum':
-                g_lin = g_lin + d
-            elif a == 'mean':
-                g_lin = g_lin + d * inv_cnt
-            elif a == 'max':
-                g_max = g_max + d
-            elif a == 'min':
-                g_min = g_min + d
-            elif a in ('var', 'std'):
-                if a == 'std':
-                    d = d * (0.5 / std)
-                d = d * (var_raw > 0).astype(jnp.float32)
-                g_quad = g_quad + d * inv_cnt
-                g_lin = g_lin - d * 2.0 * mean * inv_cnt
-            else:
-                raise ValueError(a)
-        g_max = g_max / ties_mx
-        g_min = g_min / ties_mn
-
-        E = receivers.shape[0]
-        if E * 6 * F * 4 <= WIDE_GATHER_BYTES_LIMIT:
-            # one wide gather of the six node fields through receivers (TPU
-            # gather cost is per-row, flat in width)
-            fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],
-                                     axis=-1)                   # [N, 6F]
-            fe = fields[receivers]                              # [E, 6F]
-            d_msg = (fe[:, :F] + 2.0 * msg32 * fe[:, F:2 * F]
-                     + (msg32 == fe[:, 4 * F:5 * F]).astype(jnp.float32)
-                     * fe[:, 2 * F:3 * F]
-                     + (msg32 == fe[:, 5 * F:]).astype(jnp.float32)
-                     * fe[:, 3 * F:4 * F])
-        else:
-            # large-graph path: the [E, 6F] concat would be GBs; accumulate
-            # narrow per-field gathers instead (XLA fuses each gather into
-            # its consumer, peak extra memory stays at one [E, F] term)
-            d_msg = (g_lin[receivers] + 2.0 * msg32 * g_quad[receivers]
-                     + (msg32 == mx[receivers]).astype(jnp.float32)
-                     * g_max[receivers]
-                     + (msg32 == mn[receivers]).astype(jnp.float32)
-                     * g_min[receivers])
-        if edge_mask is not None:
-            d_msg = jnp.where(edge_mask[:, None], d_msg, 0.0)
-        return (d_msg.astype(msg.dtype),)
-
-    raw.defvjp(fwd, bwd)
+        return _pallas_raw(tuple(aggregators), max_degree, interpret,
+                           msg, ptr, cnt, receivers, em)
     return raw
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_raw(aggregators, max_degree, interpret, msg, ptr, cnt,
+                receivers, edge_mask):
+    s, sq, mx, mn = sorted_moment_sketch(
+        msg.astype(jnp.float32), ptr, with_ties=False,
+        max_degree=max_degree, interpret=interpret)
+    out, _ = _assemble(aggregators, s, sq, mx, mn, cnt)
+    return out
+
+
+def _pallas_raw_fwd(aggregators, max_degree, interpret, msg, ptr, cnt,
+                    receivers, edge_mask):
+    s, sq, mx, mn, ties_mx, ties_mn = sorted_moment_sketch(
+        msg.astype(jnp.float32), ptr, with_ties=True,
+        max_degree=max_degree, interpret=interpret)
+    out, (mean, var_raw, std) = _assemble(aggregators, s, sq, mx, mn, cnt)
+    return out, (msg, mean, var_raw, std, mx, mn, ties_mx, ties_mn,
+                 ptr, cnt, receivers, edge_mask)
+
+
+def _pallas_raw_bwd(aggregators, max_degree, interpret, res, d_agg):
+    (msg, mean, var_raw, std, mx, mn, ties_mx, ties_mn,
+     ptr, cnt, receivers, edge_mask) = res
+    msg32 = msg.astype(jnp.float32)
+    N, F = mean.shape
+
+    g_lin = jnp.zeros((N, F), jnp.float32)
+    g_quad = jnp.zeros((N, F), jnp.float32)
+    g_max = jnp.zeros((N, F), jnp.float32)
+    g_min = jnp.zeros((N, F), jnp.float32)
+    inv_cnt = (1.0 / cnt)[:, None]
+
+    for i, a in enumerate(aggregators):
+        d = d_agg[:, i, :].astype(jnp.float32)
+        if a == 'sum':
+            g_lin = g_lin + d
+        elif a == 'mean':
+            g_lin = g_lin + d * inv_cnt
+        elif a == 'max':
+            g_max = g_max + d
+        elif a == 'min':
+            g_min = g_min + d
+        elif a in ('var', 'std'):
+            if a == 'std':
+                d = d * (0.5 / std)
+            d = d * (var_raw > 0).astype(jnp.float32)
+            g_quad = g_quad + d * inv_cnt
+            g_lin = g_lin - d * 2.0 * mean * inv_cnt
+        else:
+            raise ValueError(a)
+    g_max = g_max / ties_mx
+    g_min = g_min / ties_mn
+
+    E = receivers.shape[0]
+    if E * 6 * F * 4 <= WIDE_GATHER_BYTES_LIMIT:
+        # one wide gather of the six node fields through receivers (TPU
+        # gather cost is per-row, flat in width)
+        fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],
+                                 axis=-1)                   # [N, 6F]
+        fe = fields[receivers]                              # [E, 6F]
+        d_msg = (fe[:, :F] + 2.0 * msg32 * fe[:, F:2 * F]
+                 + (msg32 == fe[:, 4 * F:5 * F]).astype(jnp.float32)
+                 * fe[:, 2 * F:3 * F]
+                 + (msg32 == fe[:, 5 * F:]).astype(jnp.float32)
+                 * fe[:, 3 * F:4 * F])
+    else:
+        # large-graph path: the [E, 6F] concat would be GBs; accumulate
+        # narrow per-field gathers instead (XLA fuses each gather into
+        # its consumer, peak extra memory stays at one [E, F] term)
+        d_msg = (g_lin[receivers] + 2.0 * msg32 * g_quad[receivers]
+                 + (msg32 == mx[receivers]).astype(jnp.float32)
+                 * g_max[receivers]
+                 + (msg32 == mn[receivers]).astype(jnp.float32)
+                 * g_min[receivers])
+    d_msg = jnp.where(edge_mask[:, None], d_msg, 0.0)
+    return (d_msg.astype(msg.dtype), _zero_ct(ptr), jnp.zeros_like(cnt),
+            _zero_ct(receivers), _zero_ct(edge_mask))
+
+
+_pallas_raw.defvjp(_pallas_raw_fwd, _pallas_raw_bwd)

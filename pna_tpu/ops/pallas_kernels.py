@@ -196,7 +196,6 @@ def _sketch_kernel(with_ties, scan_steps,
         tmn_ref[:] = jnp.maximum(tmn_acc, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=('with_ties', 'max_degree', 'interpret'))
 def sorted_moment_sketch(msg: jnp.ndarray, edge_ptr: jnp.ndarray,
                          with_ties: bool = False,
                          max_degree: int = 0,
@@ -234,7 +233,11 @@ def sorted_moment_sketch(msg: jnp.ndarray, edge_ptr: jnp.ndarray,
     hi_cols = hi.reshape(n_tiles, TILE_N, 1)
 
     n_out = 6 if with_ties else 4
-    out_shape = [jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32)
+    # outputs vary over the same mesh axes as the inputs (shard_map vma
+    # checking requires this to be explicit on pallas_call out_shapes)
+    vma = frozenset().union(*[getattr(jax.typeof(x), 'vma', frozenset())
+                              for x in (msg, edge_ptr)])
+    out_shape = [jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32, vma=vma)
                  for _ in range(n_out)]
     row_spec = pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -519,7 +522,9 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
     hi_cols = hi.reshape(n_tiles, TILE_N, 1)
 
     n_out = 6 if with_ties else 4
-    out_shape = [jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32)
+    vma = frozenset().union(*[getattr(jax.typeof(x), 'vma', frozenset())
+                              for x in (u, v, senders, edge_ptr)])
+    out_shape = [jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32, vma=vma)
                  for _ in range(n_out)]
     row_spec = pl.BlockSpec((1, 1, TILE_N), lambda j, i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

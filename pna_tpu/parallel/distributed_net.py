@@ -59,19 +59,34 @@ class DistributedPNANet(nn.Module):
     bn_axes: Optional[Tuple[str, ...]] = None   # e.g. ('data', 'graph')
     # aggregation backend forwarded to PNALayerFused; with a bucketized
     # partition (partition.bucketize_partition) 'auto'/'bucketed' runs the
-    # gather/scatter-free dense-bucket path inside the distributed step
+    # gather/scatter-free dense-bucket path inside the distributed step, and
+    # with a receiver-sorted one (partition.sort_partition_edges) 'pallas'
+    # runs the skew-surviving sorted-edge sketch kernel per part
     kernel: str = 'auto'
     # split local/boundary aggregation so the local partial has no data
     # dependence on the all_to_all (comm/compute overlap; needs the
     # ``split`` tables from partition.split_edges in __call__)
     overlap: bool = False
+    # per-edge input features: they live with their edge (sharded over the
+    # graph axis, no exchange — the pretrans concat includes them,
+    # /root/reference/models/dgl/pna_layer.py:36-43)
+    edge_features: bool = False
+    # node-level objective head: per-node predictions [Nl] instead of the
+    # psum graph readout (the realistic objective at 10M nodes — a graph
+    # scalar starves 10M nodes of signal)
+    node_level: bool = False
+    # Pallas kernel options forwarded to PNALayerFused
+    max_degree: int = 0
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, h, send_idx=None, send_mask=None,
-                 train: bool = False, split=None):
+                 train: bool = False, split=None, e=None):
         avg_d = self.avg_d or {'lin': 1.0, 'log': 1.0}
         distributed = send_idx is not None
         h = nn.Dense(self.hidden_dim, name='embedding_h')(h)
+        if self.edge_features:
+            e = nn.Dense(self.hidden_dim, name='embedding_e')(e)
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
             table = layer_overlap = None
@@ -88,10 +103,14 @@ class DistributedPNANet(nn.Module):
                 avg_d=avg_d, towers=self.towers, divide_input=True,
                 batch_norm=self.batch_norm, residual=self.residual,
                 bn_axis_name=self.bn_axes if distributed else None,
-                kernel=self.kernel,
-                name=f'layer_{i}')(graph, h, train=train,
+                kernel=self.kernel, edge_features=self.edge_features,
+                max_degree=self.max_degree,
+                pallas_interpret=self.pallas_interpret,
+                name=f'layer_{i}')(graph, h, e=e, train=train,
                                    sender_table=table,
                                    overlap=layer_overlap)
+        if self.node_level:
+            return MLPReadout(1, name='MLP_layer')(h)[..., 0]   # [Nl]
         # masked mean readout over ALL real nodes of the (single) graph
         m = graph.node_mask.astype(h.dtype)[:, None]
         s = jnp.sum(h * m, axis=0)
@@ -104,7 +123,7 @@ class DistributedPNANet(nn.Module):
 
 
 def _local_graph(nl, senders_l, receivers_l, edge_mask, node_mask,
-                 bucket_spec=None, in_deg=None):
+                 bucket_spec=None, in_deg=None, edge_ptr=None):
     # node_feats is a zero-width placeholder: layers receive h separately,
     # but Graph.n_node_pad reads node_feats.shape[0].
     return Graph(node_feats=jnp.zeros((nl, 0)), senders=senders_l,
@@ -112,7 +131,7 @@ def _local_graph(nl, senders_l, receivers_l, edge_mask, node_mask,
                  node_graph_ids=jnp.zeros((nl,), jnp.int32),
                  node_mask=node_mask, edge_mask=edge_mask,
                  graph_mask=jnp.ones((1,), bool),
-                 bucket_spec=bucket_spec, in_deg=in_deg)
+                 bucket_spec=bucket_spec, in_deg=in_deg, edge_ptr=edge_ptr)
 
 
 def full_graph(part: EdgePartition, senders: np.ndarray,
@@ -143,25 +162,72 @@ def full_graph(part: EdgePartition, senders: np.ndarray,
                  graph_mask=jnp.ones((1,), bool))
 
 
+def _const_tables(part: EdgePartition, net: DistributedPNANet,
+                  efeats: Optional[np.ndarray] = None):
+    """(tables, parse) — the static per-part index tables the step closes
+    over, plus a parser that rebuilds (Graph, e, split) from the shard_map
+    slices (each [1, ...], this device's row)."""
+    bucket_spec = part.bucket_spec
+    has_ptr = part.edge_ptr is not None
+    has_e = efeats is not None
+    n_split = 6 if net.overlap else 0
+    nl = part.nodes_per_part
+
+    tables = (part.senders_local, part.receivers_local, part.edge_mask,
+              part.send_idx, part.send_mask, part.node_mask)
+    if bucket_spec is not None:
+        tables = tables + (part.in_deg,)
+    if has_ptr:
+        tables = tables + (part.edge_ptr,)
+    if has_e:
+        tables = tables + (efeats,)
+    if net.overlap:
+        from pna_tpu.parallel.partition import split_edges
+        sp = split_edges(part)
+        tables = tables + (sp.senders_local, sp.receivers_local,
+                           sp.mask_local, sp.senders_bound,
+                           sp.receivers_bound, sp.mask_bound)
+
+    def parse(*extra):
+        i = 0
+        in_deg = extra[i][0] if bucket_spec is not None else None
+        i += bucket_spec is not None
+        edge_ptr = extra[i][0] if has_ptr else None
+        i += has_ptr
+        e = extra[i][0] if has_e else None
+        i += has_e
+        split = (tuple(x[0] for x in extra[i:i + n_split]) if n_split
+                 else None)
+        return in_deg, edge_ptr, e, split
+
+    return tables, parse
+
+
 def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
                                 net: DistributedPNANet,
                                 learning_rate: float = 1e-3,
                                 tx: Optional[optax.GradientTransformation]
-                                = None):
+                                = None,
+                                efeats: Optional[np.ndarray] = None):
     """Returns (step_fn, put_consts, tx).
 
     ``step_fn(params, batch_stats, opt_state, feats, targets, *consts)
     -> (params, batch_stats, opt_state, loss)`` with feats [D, G, Nl, F]
     sharded P('data', 'graph') and targets [D] sharded P('data').  Params,
     batch_stats and opt_state are replicated; gradients psum over both axes
-    via the loss pmean + shard_map transpose.
+    via the loss pmean + shard_map transpose.  ``efeats`` [P, El, Fe]
+    (``part.scatter_edge_features``) rides the graph axis as a constant —
+    edge features live with their edges, no exchange.
     """
     tx = tx if tx is not None else optax.adam(learning_rate)
     data_axis, graph_axis = 'data', net.graph_axis
     nl = part.nodes_per_part
-
     bucket_spec = part.bucket_spec
-    n_split = 6 if net.overlap else 0
+    tables, parse = _const_tables(part, net, efeats)
+    # interpret-mode pallas_call does not support shard_map's vma checking
+    # (mixed-varying dynamic_slice inside the HLO interpreter); compiled TPU
+    # pallas does (vma is set on the kernel out_shapes).
+    check_vma = not (net.kernel == 'pallas' and net.pallas_interpret)
 
     def local_loss(params, batch_stats, feats, targets, senders_l,
                    receivers_l, edge_mask, send_idx, send_mask, node_mask,
@@ -169,16 +235,16 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
         # index tables are sharded over 'graph' only; mark them varying over
         # 'data' too so mask-derived BN counts may psum over both axes
         # (numerically a no-op — every data shard sees the same tables).
-        node_mask = jax.lax.pcast(node_mask, (data_axis,), to='varying')
-        in_deg = extra[0] if bucket_spec is not None else None
-        split = (tuple(x[0] for x in extra[-n_split:]) if n_split else None)
+        if check_vma:
+            node_mask = jax.lax.pcast(node_mask, (data_axis,), to='varying')
+        in_deg, edge_ptr, e, split = parse(*extra)
         g = _local_graph(nl, senders_l[0], receivers_l[0], edge_mask[0],
                          node_mask[0], bucket_spec=bucket_spec,
-                         in_deg=None if in_deg is None else in_deg[0])
+                         in_deg=in_deg, edge_ptr=edge_ptr)
         pred, mutated = net.apply(
             {'params': params, 'batch_stats': batch_stats},
             g, feats[0, 0], send_idx, send_mask, train=True,
-            mutable=['batch_stats'], split=split)
+            mutable=['batch_stats'], split=split, e=e)
         loss = (pred - targets[0]) ** 2
         # pred is already invarying over 'graph' (readout psum), so only the
         # data axis needs averaging; psum'd BN statistics are already
@@ -186,8 +252,7 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
         return jax.lax.pmean(loss, data_axis), mutated['batch_stats']
 
     table_spec = P(graph_axis)
-
-    n_tables = (7 if bucket_spec is not None else 6) + n_split
+    n_tables = len(tables)
 
     def loss_fn(params, batch_stats, feats, targets, *consts):
         f = shard_map(
@@ -196,7 +261,7 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
                       P(data_axis, graph_axis),  # feats [D, G, Nl, F]
                       P(data_axis),               # targets [D]
                       *([table_spec] * n_tables)),
-            out_specs=(P(), P()))
+            out_specs=(P(), P()), check_vma=check_vma)
         return f(params, batch_stats, feats, targets, *consts)
 
     @jax.jit
@@ -211,27 +276,24 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
     def put_consts():
         # put_global handles both single- and multi-process meshes
         from pna_tpu.parallel.multihost import put_global
-        tables = (part.senders_local, part.receivers_local, part.edge_mask,
-                  part.send_idx, part.send_mask, part.node_mask)
-        if bucket_spec is not None:
-            tables = tables + (part.in_deg,)
-        if net.overlap:
-            from pna_tpu.parallel.partition import split_edges
-            sp = split_edges(part)
-            tables = tables + (sp.senders_local, sp.receivers_local,
-                               sp.mask_local, sp.senders_bound,
-                               sp.receivers_bound, sp.mask_bound)
         return tuple(put_global(x, mesh, table_spec) for x in tables)
 
     return step, put_consts, tx
 
 
 def init_net(net: DistributedPNANet, part: EdgePartition, feat_dim: int,
-             seed: int = 0):
+             seed: int = 0, efeats: Optional[np.ndarray] = None):
     """Initialize params/batch_stats on the single-device oracle graph (the
     param tree is identical to the distributed one)."""
     g = full_graph(part, np.zeros(1, np.int64), np.zeros(1, np.int64))
     feats = jnp.zeros((part.num_parts * part.nodes_per_part, feat_dim))
-    variables = net.init({'params': jax.random.PRNGKey(seed)}, g, feats,
-                         train=False)
+    e = None
+    if net.edge_features:
+        assert efeats is not None, "edge_features=True needs efeats for init"
+        e = jnp.zeros((g.senders.shape[0], efeats.shape[-1]))
+    # the oracle graph has no edge_ptr/bucket tables; the kernel choice does
+    # not change the param tree, so init through the generic path
+    init_n = net.clone(kernel='auto') if net.kernel == 'pallas' else net
+    variables = init_n.init({'params': jax.random.PRNGKey(seed)}, g, feats,
+                            train=False, e=e)
     return variables['params'], variables.get('batch_stats', FrozenDict())

@@ -65,6 +65,18 @@ class EdgePartition:
     # in-degree [P, Nl].  None = plain receiver-grouped layout.
     bucket_spec: Optional[Tuple[Tuple[int, int], ...]] = None
     in_deg: Optional[np.ndarray] = None
+    # ORIGINAL edge index living at each local slot (-1 = padding/dummy).
+    # Lets per-edge data (edge features — they live with the edge, no
+    # exchange needed, /root/reference/models/dgl/pna_layer.py:36-43) follow
+    # the edges through partitioning/sorting/bucketizing:
+    # ``scatter_edge_features``.
+    edge_origin: Optional[np.ndarray] = None    # [P, El] int64
+    # CSR row pointers over the RECEIVER-SORTED local edge list
+    # (:func:`sort_partition_edges`): part p's node n owns local edges
+    # [edge_ptr[p, n], edge_ptr[p, n+1]).  Enables the sorted-edge Pallas
+    # sketch kernel (the only backend that survives hub-degree skew,
+    # RESULTS_largegraph_250k.json) inside the distributed step.
+    edge_ptr: Optional[np.ndarray] = None       # [P, Nl + 1] int32
 
     def _positions(self) -> np.ndarray:
         """pos[i] = partitioned position of ORIGINAL node i."""
@@ -93,6 +105,18 @@ class EdgePartition:
         node order (inverse of scatter_features)."""
         p, nl, f = out.shape
         return out.reshape(p * nl, f)[self._positions()]
+
+    def scatter_edge_features(self, efeats: np.ndarray) -> np.ndarray:
+        """Global [num_edges, Fe] per-edge data -> sharded [P, El, Fe]
+        following the edges through the partition layout (zeros at
+        padding/dummy slots)."""
+        if self.edge_origin is None:
+            raise ValueError("partition carries no edge_origin map")
+        p, el = self.edge_origin.shape
+        out = np.zeros((p, el, efeats.shape[1]), dtype=efeats.dtype)
+        real = self.edge_origin >= 0
+        out[real] = efeats[self.edge_origin[real]]
+        return out
 
 
 def _partition_indices_numpy(senders, receivers, nl, num_parts, n_nodes,
@@ -146,6 +170,23 @@ def _partition_indices_numpy(senders, receivers, nl, num_parts, n_nodes,
         ghost = (nl + uq * h + slot).astype(np.int32)
         senders_local[p_o[ridx], pos[ridx]] = ghost[inv]
     return senders_local, receivers_local, edge_mask, send_idx, send_mask
+
+
+def _edge_origin_numpy(senders, receivers, nl, num_parts, el):
+    """ORIGINAL edge index per local slot — same placement rule as
+    ``_partition_indices_numpy`` / the C++ builder (edges grouped by
+    receiver-owner part, local-sender edges first, stable within groups)."""
+    owner_r = receivers // nl
+    owner_s = senders // nl
+    remote = owner_s != owner_r
+    order = np.argsort(owner_r * 2 + remote, kind='stable')
+    p_o = owner_r[order]
+    counts = np.bincount(p_o, minlength=num_parts)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(order)) - starts[p_o]
+    out = np.full((num_parts, el), -1, dtype=np.int64)
+    out[p_o, pos] = order
+    return out
 
 
 def partition_edges(senders: np.ndarray, receivers: np.ndarray,
@@ -217,12 +258,57 @@ def partition_edges(senders: np.ndarray, receivers: np.ndarray,
         if hi > lo:
             node_mask[p, :hi - lo] = True
 
+    edge_origin = _edge_origin_numpy(senders, receivers, nl, num_parts, el)
+
     return EdgePartition(
         num_parts=num_parts, nodes_per_part=nl, halo_size=h,
         edges_per_part=el, num_nodes=num_nodes,
         senders_local=senders_local, receivers_local=receivers_local,
         edge_mask=edge_mask, send_idx=send_idx, send_mask=send_mask,
-        node_mask=node_mask, node_order=node_order)
+        node_mask=node_mask, node_order=node_order,
+        edge_origin=edge_origin)
+
+
+def sort_partition_edges(part: EdgePartition) -> EdgePartition:
+    """Receiver-sort each part's local edges and build per-part CSR
+    ``edge_ptr`` — the layout the sorted-edge Pallas moment-sketch kernel
+    needs (``PNALayerFused(kernel='pallas')``).
+
+    On the power-law scaling target (BASELINE config 5) hub parts are
+    exactly where the bucket table OOMs and the ELL table explodes; the
+    Pallas kernel is the only backend that survives that skew on hardware
+    (RESULTS_largegraph_250k.json), and this layout is how it runs inside
+    the distributed step.  Real edges come first (stable by local receiver),
+    padding at the tail; ghost sender ids are preserved untouched.
+    """
+    assert part.bucket_spec is None, "sort needs the plain layout"
+    Pn, nl, el = part.num_parts, part.nodes_per_part, part.edges_per_part
+    senders_local = np.zeros_like(part.senders_local)
+    receivers_local = np.zeros_like(part.receivers_local)
+    edge_mask = np.zeros_like(part.edge_mask)
+    edge_origin = (np.full((Pn, el), -1, np.int64)
+                   if part.edge_origin is not None else None)
+    edge_ptr = np.zeros((Pn, nl + 1), np.int32)
+    for p in range(Pn):
+        real = np.nonzero(part.edge_mask[p])[0]
+        r = part.receivers_local[p][real]
+        order = np.argsort(r, kind='stable')
+        k = len(real)
+        senders_local[p, :k] = part.senders_local[p][real[order]]
+        receivers_local[p, :k] = r[order]
+        edge_mask[p, :k] = True
+        if edge_origin is not None:
+            edge_origin[p, :k] = part.edge_origin[p][real[order]]
+        edge_ptr[p] = np.searchsorted(r[order], np.arange(nl + 1),
+                                      side='left').astype(np.int32)
+    return EdgePartition(
+        num_parts=Pn, nodes_per_part=nl, halo_size=part.halo_size,
+        edges_per_part=el, num_nodes=part.num_nodes,
+        senders_local=senders_local, receivers_local=receivers_local,
+        edge_mask=edge_mask, send_idx=part.send_idx,
+        send_mask=part.send_mask, node_mask=part.node_mask,
+        node_order=part.node_order, edge_origin=edge_origin,
+        edge_ptr=edge_ptr)
 
 
 @dataclass
@@ -340,6 +426,8 @@ def bucketize_partition(part: EdgePartition,
     in_deg = np.zeros((Pn, nl_new), np.float32)
     send_idx = np.zeros_like(part.send_idx)
     node_order = np.full(Pn * nl_new, -1, np.int64)
+    edge_origin = (np.full((Pn, el_new), -1, np.int64)
+                   if part.edge_origin is not None else None)
     H = part.halo_size
 
     for p in range(Pn):
@@ -390,6 +478,8 @@ def bucketize_partition(part: EdgePartition,
             senders_local[p, pos] = s_new.astype(np.int32)
             receivers_local[p, pos] = r_sorted.astype(np.int32)
             edge_mask[p, pos] = True
+            if edge_origin is not None:
+                edge_origin[p, pos] = part.edge_origin[p][e_sorted]
 
         sm = part.send_mask[p]
         send_idx[p][sm] = new_of_old[part.send_idx[p][sm]].astype(np.int32)
@@ -400,7 +490,7 @@ def bucketize_partition(part: EdgePartition,
         senders_local=senders_local, receivers_local=receivers_local,
         edge_mask=edge_mask, send_idx=send_idx, send_mask=part.send_mask,
         node_mask=node_mask, node_order=node_order,
-        bucket_spec=spec, in_deg=in_deg)
+        bucket_spec=spec, in_deg=in_deg, edge_origin=edge_origin)
 
 
 def halo_exchange(feats_local: jnp.ndarray, send_idx: jnp.ndarray,
