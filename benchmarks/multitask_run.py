@@ -186,13 +186,35 @@ def main():
         'source': 'multitask_benchmark/images/multitask_results.png '
                   '(BASELINE.md)'})
     # keep the best run per model (lower mean log10(MSE) wins), mirroring the
-    # reference's best-of-runs box-plot reporting
+    # reference's best-of-runs box-plot reporting — and record EVERY seed's
+    # number in ``runs`` with mean +/- std in ``seed_stats`` (the reference
+    # reports box plots over runs, multitask_benchmark/README.md:3; VERDICT
+    # r3 item 5 asks for the same multi-seed evidence here)
     prev = merged.get(args.model)
+    runs = list((prev or {}).get('runs', []))
+    if prev is not None and not runs:
+        runs.append({'seed': prev['recipe'].get('seed'),
+                     'mean_log10_mse': prev['mean_log10_mse'],
+                     'best_epoch': prev.get('best_epoch'),
+                     'wall_clock_s': prev.get('wall_clock_s'),
+                     'backend': prev.get('backend')})
+    runs = [r for r in runs if r.get('seed') != args.seed]
+    runs.append({'seed': args.seed, 'mean_log10_mse': entry['mean_log10_mse'],
+                 'best_epoch': entry['best_epoch'],
+                 'wall_clock_s': entry['wall_clock_s'],
+                 'backend': entry['backend']})
+    runs.sort(key=lambda r: (r.get('seed') is None, r.get('seed')))
     if prev is None or entry['mean_log10_mse'] <= prev['mean_log10_mse']:
         merged[args.model] = entry
     else:
         print(f"kept previous better result {prev['mean_log10_mse']:.3f} "
               f"(this run: {entry['mean_log10_mse']:.3f})")
+    vals = [r['mean_log10_mse'] for r in runs]
+    merged[args.model]['runs'] = runs
+    merged[args.model]['seed_stats'] = {
+        'n': len(vals), 'mean': round(float(np.mean(vals)), 4),
+        'std': round(float(np.std(vals)), 4),
+        'worst': round(float(np.max(vals)), 4)}
     with open(args.out, 'w') as f:
         json.dump(merged, f, indent=2)
     print(json.dumps(entry))

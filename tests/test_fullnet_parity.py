@@ -65,9 +65,16 @@ def _aggregate_scale(msg, recv, n, aggregators, scalers, avg_d):
 def make_torch_zinc_net(num_atom_type, num_bond_type, hidden, out_dim, L,
                         towers, edge_dim, edge_feat, gru,
                         divide_first, divide_last,
-                        pretrans_layers=1, posttrans_layers=1, seed=0):
+                        pretrans_layers=1, posttrans_layers=1, seed=0,
+                        embedding='atom', n_classes=1, readout='sum'):
     """Build the reference ZINC PNANet (pna_net.py:16-96) as plain torch
-    modules + a closure running the DGL semantics with mailbox loops."""
+    modules + a closure running the DGL semantics with mailbox loops.
+
+    ``embedding='linear'`` + ``n_classes``/``readout='mean'`` turn it into
+    the superpixels net (nets/superpixels_graph_classification/
+    pna_net.py:17-97), which differs ONLY in Linear embeddings of float
+    features, the class-count readout head and CE loss; ``num_atom_type`` /
+    ``num_bond_type`` are then the float feature dims."""
     add_reference_to_path()
     _add_realworld_to_path()
     import torch
@@ -131,14 +138,19 @@ def make_torch_zinc_net(num_atom_type, num_bond_type, hidden, out_dim, L,
 
     class Net:
         def __init__(self):
-            self.embedding_h = tnn.Embedding(num_atom_type, hidden)
-            self.embedding_e = (tnn.Embedding(num_bond_type, edge_dim)
-                                if edge_feat else None)
+            if embedding == 'atom':
+                self.embedding_h = tnn.Embedding(num_atom_type, hidden)
+                self.embedding_e = (tnn.Embedding(num_bond_type, edge_dim)
+                                    if edge_feat else None)
+            else:   # superpixels: Linear embeddings of float features
+                self.embedding_h = tnn.Linear(num_atom_type, hidden)
+                self.embedding_e = (tnn.Linear(num_bond_type, edge_dim)
+                                    if edge_feat else None)
             self.layers = ([Layer(hidden, hidden, divide_first)
                             for _ in range(L - 1)]
                            + [Layer(hidden, out_dim, divide_last)])
             self.gru = RefGRU(hidden, hidden, 'cpu') if gru else None
-            self.MLP_layer = RefMLPReadout(out_dim, 1)
+            self.MLP_layer = RefMLPReadout(out_dim, n_classes)
 
         def eval(self):
             import torch
@@ -161,8 +173,12 @@ def make_torch_zinc_net(num_atom_type, num_bond_type, hidden, out_dim, L,
                 if self.gru is not None and i != len(self.layers) - 1:
                     h_t = self.gru(h, h_t)            # pna_net.py:76-79
                 h = h_t
-            hg = torch.zeros(n_graphs, h.shape[1]).index_add_(
-                0, torch.tensor(graph_id, dtype=torch.long), h)  # sum_nodes
+            gid = torch.tensor(graph_id, dtype=torch.long)
+            hg = torch.zeros(n_graphs, h.shape[1]).index_add_(0, gid, h)
+            if readout == 'mean':                     # dgl.mean_nodes
+                cnt = torch.zeros(n_graphs).index_add_(
+                    0, gid, torch.ones(h.shape[0]))
+                hg = hg / cnt[:, None]
             return self.MLP_layer(hg)
 
     return Net()
@@ -462,3 +478,101 @@ def test_hiv_fullnet_weight_port_parity():
     got_loss = float(PNANetHIV.loss(scores, jnp.asarray(pad_labels),
                                     g.graph_mask))
     np.testing.assert_allclose(got_loss, ref_loss, rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# superpixels (MNIST/CIFAR10): Linear embeddings, mean readout, CE loss
+# (nets/superpixels_graph_classification/pna_net.py:17-97 — VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+def port_superpixels_net(net, hidden, edge_feat, gru):
+    params, stats = {}, {}
+    params['embedding_h'] = port_linear(net.embedding_h)
+    if edge_feat:
+        params['embedding_e'] = port_linear(net.embedding_e)
+    for i, lay in enumerate(net.layers):
+        p, s = port_layer_to_fused(lay)
+        params[f'layer_{i}'] = p
+        stats[f'layer_{i}'] = s
+    if gru:
+        params['gru'] = {'GRUCell_0': port_gru_cell(net.gru.gru, hidden)}
+    params['MLP_layer'] = port_mlp_readout(net.MLP_layer)
+    return to_variables(params, stats)
+
+
+@pytest.mark.parametrize("kernel,gru", [("generic", True),
+                                        ("bucketed", False)])
+def test_superpixels_fullnet_weight_port_parity(kernel, gru):
+    """CIFAR10-config shapes: in_dim=5 ([mean_px RGB, coord]), edge feats =
+    Gaussian kernel values (in_dim_edge=1), towers 5, mean readout,
+    CE loss + accuracy — forward scores, loss and accuracy must match the
+    torch re-enactment of the reference net with ported weights."""
+    import torch
+    from pna_tpu.nn.nets import PNANetSuperpixels
+    from pna_tpu.train.metrics import accuracy as acc_metric
+    in_dim, in_dim_edge, n_classes = 5, 1, 10
+    hidden = out_dim = 20
+    towers, edge_dim, L = 5, 8, 3
+    rng = np.random.RandomState(17)
+    mols = _random_molecules(rng, 6, 1, 1, lo=7, hi=12)
+    for m in mols:   # float node/edge features (data/superpixels.py)
+        m['xf'] = rng.rand(m['n'], in_dim).astype(np.float32)
+        m['ef'] = np.exp(-rng.rand(len(m['senders']), in_dim_edge)
+                         ).astype(np.float32)
+    send, recv, gid, _, _, snorm, n_tot = _flatten(mols)
+    xf = np.concatenate([m['xf'] for m in mols], axis=0)
+    ef = np.concatenate([m['ef'] for m in mols], axis=0)
+
+    tnet = make_torch_zinc_net(in_dim, in_dim_edge, hidden, out_dim, L,
+                               towers, edge_dim, edge_feat=True, gru=gru,
+                               divide_first=True, divide_last=True, seed=13,
+                               embedding='linear', n_classes=n_classes,
+                               readout='mean')
+    for lay in tnet.layers:
+        for tw in lay.towers:
+            tw.batchnorm_h.running_mean.copy_(torch.tensor(
+                rng.randn(tw.batchnorm_h.num_features) * 0.3,
+                dtype=torch.float32))
+            tw.batchnorm_h.running_var.copy_(torch.tensor(
+                0.5 + rng.rand(tw.batchnorm_h.num_features),
+                dtype=torch.float32))
+    tnet.eval()
+    with torch.no_grad():
+        ref_scores = tnet(torch.tensor(xf), torch.tensor(ef), send, recv,
+                          gid, len(mols), torch.tensor(snorm)).numpy()
+
+    g = batch_graphs(
+        [dict(node_feats=m['xf'], senders=m['senders'],
+              receivers=m['receivers'], edge_feats=m['ef']) for m in mols],
+        with_snorm=True, bucket_by_degree=(kernel == 'bucketed'))
+    model = PNANetSuperpixels(
+        in_dim=in_dim, in_dim_edge=in_dim_edge, hidden_dim=hidden,
+        out_dim=out_dim, n_classes=n_classes, n_layers=L,
+        aggregators=tuple(AGGS.split()), scalers=tuple(SCAL.split()),
+        avg_d=AVG_D, readout_type='mean', towers=towers,
+        divide_input_first=True, divide_input_last=True,
+        edge_feat=True, edge_dim=edge_dim, gru_enable=gru,
+        residual=True, graph_norm=True, batch_norm=True, kernel=kernel)
+    variables = port_superpixels_net(tnet, hidden, edge_feat=True, gru=gru)
+    scores = model.apply(variables, g, g.node_feats, g.edge_feats,
+                         train=False)
+    got = np.asarray(scores)[:len(mols)]
+    np.testing.assert_allclose(got, ref_scores, rtol=3e-4, atol=3e-4)
+
+    # loss + accuracy parity: CrossEntropy (superpixels pna_net.py:94-96),
+    # accuracy as in train/metrics.py
+    labels = rng.randint(0, n_classes, size=len(mols))
+    ref_loss = float(torch.nn.CrossEntropyLoss()(
+        torch.tensor(ref_scores), torch.tensor(labels, dtype=torch.long)))
+    pad_labels = np.zeros(g.n_graph_pad, np.int32)
+    pad_labels[:len(mols)] = labels
+    got_loss = float(PNANetSuperpixels.loss(scores, jnp.asarray(pad_labels),
+                                            g.graph_mask))
+    np.testing.assert_allclose(got_loss, ref_loss, rtol=3e-4, atol=3e-4)
+    # acc_metric returns the raw correct COUNT (reference
+    # accuracy_MNIST_CIFAR contract); divide by #graphs for the rate
+    ref_acc = float((torch.tensor(ref_scores).argmax(1).numpy()
+                     == labels).mean())
+    got_acc = float(acc_metric(scores, jnp.asarray(pad_labels),
+                               g.graph_mask)) / len(mols)
+    np.testing.assert_allclose(got_acc, ref_acc, rtol=1e-6)
