@@ -128,13 +128,15 @@ def collate_records(records: Sequence[dict],
                     n_edge_pad: Optional[int] = None,
                     with_snorm: bool = True,
                     bucket_by_degree: bool = False,
-                    bucket_caps: Optional[dict] = None
+                    bucket_caps: Optional[dict] = None,
+                    bucket_max_buckets: int = 4
                     ) -> Tuple[Graph, np.ndarray]:
     """Batch + pad records into a Graph; returns (graph, labels [G_pad])."""
     g = batch_graphs(list(records), n_node_pad=n_node_pad,
                      n_edge_pad=n_edge_pad, with_snorm=with_snorm,
                      bucket_by_degree=bucket_by_degree,
-                     bucket_caps=bucket_caps)
+                     bucket_caps=bucket_caps,
+                     bucket_max_buckets=bucket_max_buckets)
     is_int = isinstance(records[0].get('label', 0.0), (int, np.integer))
     labels = np.zeros((g.n_graph_pad,), dtype=np.int32 if is_int
                       else np.float32)

@@ -234,7 +234,7 @@ class PNALayerFused(nn.Module):
         from pna_tpu.ops import fused_vjp, pallas_bank, partial_stats
         scalers_ok = all(s in fused_vjp._SCALERS for s in self.scalers)
 
-        Z = deg = None
+        Z = deg = moments = None
         if overlap is not None:
             # ---- split local/boundary aggregation (comm/compute overlap) --
             if self.edge_features:
@@ -323,10 +323,20 @@ class PNALayerFused(nn.Module):
                 # measured *slower* than XLA autodiff of these dense
                 # reductions on v5e: 27.6ms vs 25.6ms per ZINC-1024 step,
                 # so the plain bank stays the default.)
-                Z = bucketed.raw_bank(msg.reshape(E, T * Ft),
-                                      graph.bucket_spec,
-                                      tuple(self.aggregators),
-                                      in_deg=graph.in_deg)      # [N, A, T*Ft]
+                if all(a in bucketed.MOMENT_DERIVABLE
+                       for a in self.aggregators):
+                    # unstacked moment path: each aggregator is derived
+                    # elementwise and contracted immediately — the stacked
+                    # Z [N, A, T*Ft] (whose relayouts dominated the step's
+                    # copy traffic, benchmarks/byte_audit.py) never exists
+                    moments = bucketed.moment_stats(msg.reshape(E, T * Ft),
+                                                    graph.bucket_spec,
+                                                    in_deg=graph.in_deg)
+                else:
+                    Z = bucketed.raw_bank(msg.reshape(E, T * Ft),
+                                          graph.bucket_spec,
+                                          tuple(self.aggregators),
+                                          in_deg=graph.in_deg)  # [N, A, T*Ft]
                 deg = (graph.in_deg if graph.in_deg is not None
                        else jnp.asarray(bucketed.degrees(graph.bucket_spec)))
             else:
@@ -352,7 +362,36 @@ class PNALayerFused(nn.Module):
             # output: one [N, A*T*Ft] x [A*T*Ft, T*O*S] matmul whose weight
             # matches Z's natural (a, t, f) layout (t block-matched)
             Fo1 = post_dims[1]
-            if self.tp_axis is not None:
+            if moments is not None:
+                # unstacked: y = sum_a derive(a) . K_a — four narrow
+                # [N, T*Ft] x [T*Ft, T*O*S] matmuls instead of one wide
+                # stacked contraction; the moment->aggregator derivations
+                # are elementwise and fuse into the matmul inputs
+                s_m, sq_m, mx_m, mn_m, cnt1_m, d0_m = moments
+                eye = jnp.eye(T, dtype=cdt)
+                y = None
+                for i, a in enumerate(self.aggregators):
+                    Za = bucketed.derive_aggregator(a, s_m, sq_m, mx_m,
+                                                    mn_m, cnt1_m, d0_m)
+                    ka = k_agg[:, :, i]                 # [T, S, Ft, Fo1]
+                    if self.tp_axis is not None:
+                        ya = jnp.einsum('ntf,tsfo->ntos',
+                                        Za.reshape(N, T, Ft).astype(cdt),
+                                        ka.astype(cdt),
+                                        preferred_element_type=jnp.float32)
+                        from jax.sharding import PartitionSpec
+                        ya = jax.lax.with_sharding_constraint(
+                            ya, PartitionSpec(None, self.tp_axis, None,
+                                              None))
+                    else:
+                        Wa = jnp.einsum('tsfo,tu->tfuos', ka.astype(cdt),
+                                        eye)
+                        Wa = Wa.reshape(T * Ft, T * Fo1 * S)
+                        ya = jnp.einsum('nk,ko->no', Za.astype(cdt), Wa,
+                                        preferred_element_type=jnp.float32)
+                        ya = ya.reshape(N, T, Fo1, S)
+                    y = ya if y is None else y + ya
+            elif self.tp_axis is not None:
                 # per-tower contraction, tower axis sharded over the TP axis
                 y = jnp.einsum('natf,tsafo->ntos',
                                Z.reshape(N, A, T, Ft).astype(cdt),

@@ -93,6 +93,11 @@ class PNANetMolecules(nn.Module):
     kernel: str = 'auto'
     max_degree: int = 0
     pallas_interpret: bool = False
+    # rematerialize each conv layer in the backward pass: residuals shrink
+    # to the layer inputs (bf16 h/e) instead of the f32 msg/moment
+    # intermediates autodiff would otherwise store (SURVEY hbm guidance;
+    # measured on the flagship bench via --remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, h_idx, e_idx=None, train: bool = False):
@@ -120,6 +125,8 @@ class PNANetMolecules(nn.Module):
         for i in range(self.n_layers):
             last = i == self.n_layers - 1
             layer_cls = PNALayerFused if self.fused_towers else PNALayerSparse
+            if self.remat and self.fused_towers:
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
             extra = ({'compute_dtype': self.compute_dtype,
                       'kernel': self.kernel, 'max_degree': self.max_degree,
                       'pallas_interpret': self.pallas_interpret}

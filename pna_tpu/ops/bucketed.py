@@ -159,6 +159,81 @@ def raw_bank(msg: jnp.ndarray, spec: Tuple[Tuple[int, int], ...],
     return jnp.concatenate(out, axis=0)        # [N, A, F]
 
 
+def moment_stats(msg: jnp.ndarray, spec: Tuple[Tuple[int, int], ...],
+                 in_deg: jnp.ndarray = None):
+    """Per-node moment sketch over bucketed edge messages — the UNSTACKED
+    sibling of :func:`raw_bank` for the {mean,sum,max,min,var,std} family.
+
+    Returns ``(s, sq, mx, mn, cnt1, d0)``: sum, sum-of-squares, max, min
+    (each [N, F] f32; empty neighbourhoods -> 0), clamped count [N, 1], and
+    the static [N] bool mask of degree-0 bucket slots (whose aggregator
+    outputs are defined as exactly 0, matching raw_bank).
+
+    Why: stacking A aggregator outputs into Z [N, A, F] forces XLA to
+    materialize and re-lay-out a wide 3-D tensor between the bank and the
+    posttrans matmul (measured: 2 x 44 MB copy+reshape per layer plus a
+    [N, A*F] relayout on the flagship step, benchmarks/byte_audit.py).  The
+    caller instead derives each aggregator elementwise from these moments
+    and contracts it immediately against its posttrans weight slice — the
+    stacked tensor never exists.
+    """
+    F = msg.shape[-1]
+    ss, sqs, mxs, mns, cnts = [], [], [], [], []
+    d0 = np.zeros(sum(c for _, c in spec), bool)
+    noff0 = 0
+    for d, c in spec:
+        if d == 0:
+            d0[noff0:noff0 + c] = True
+        noff0 += c
+    for d, c, seg, cnt, m, noff in _bucket_views(msg, spec, in_deg):
+        if seg is None:
+            z = jnp.zeros((c, F), jnp.float32)
+            ss.append(z), sqs.append(z), mxs.append(z), mns.append(z)
+            cnts.append(jnp.ones((c, 1), jnp.float32))
+            continue
+        s = jnp.sum(seg if m is None else jnp.where(m, seg, 0.0), axis=1)
+        sq = jnp.sum(seg * seg if m is None
+                     else jnp.where(m, seg * seg, 0.0), axis=1)
+        mx = jnp.max(seg if m is None else jnp.where(m, seg, -jnp.inf),
+                     axis=1)
+        mn = jnp.min(seg if m is None else jnp.where(m, seg, jnp.inf),
+                     axis=1)
+        nonempty = cnt > 0
+        mx = jnp.where(nonempty, mx, 0.0)
+        mn = jnp.where(nonempty, mn, 0.0)
+        ss.append(s), sqs.append(sq), mxs.append(mx), mns.append(mn)
+        cnts.append(jnp.maximum(cnt, 1.0))
+    cat = lambda xs: jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+    return cat(ss), cat(sqs), cat(mxs), cat(mns), cat(cnts), d0
+
+
+def derive_aggregator(name: str, s, sq, mx, mn, cnt1, d0):
+    """One aggregator [N, F] from the moment sketch — formulas identical to
+    :func:`raw_bank` (EPS inside the std sqrt, var relu clamp, degree-0
+    bucket slots exactly 0)."""
+    if name == 'sum':
+        return s
+    if name == 'mean':
+        return s / cnt1
+    if name == 'max':
+        return mx
+    if name == 'min':
+        return mn
+    mean = s / cnt1
+    var = jax.nn.relu(sq / cnt1 - mean * mean)
+    if name == 'var':
+        return var
+    if name == 'std':
+        std = jnp.sqrt(var + EPS)
+        if d0.any():
+            std = jnp.where(jnp.asarray(d0)[:, None], 0.0, std)
+        return std
+    raise ValueError(name)
+
+
+MOMENT_DERIVABLE = ('mean', 'sum', 'max', 'min', 'var', 'std')
+
+
 # ---------------------------------------------------------------------------
 # fused bank: one variadic reduce per bucket + hand-written VJP
 # ---------------------------------------------------------------------------
