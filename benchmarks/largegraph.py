@@ -39,16 +39,26 @@ def build_inputs(num_nodes, num_edges, skewed_in, seed=0):
 
 def make_graph(send, recv, num_nodes, feat, kernel, seed=0):
     """Build the Graph in the layout the backend needs; returns
-    (graph, layout_build_seconds) or (None, reason)."""
+    (graph, layout_build_seconds) or (None, reason).
+
+    ``kernel='auto'`` resolves through ``pna_tpu.ops.layout.choose_layout``
+    — the codified decision boundary this benchmark's own measurements
+    define; the resolved backend is returned as a third element."""
     from pna_tpu.graph import batch_graphs
     rng = np.random.RandomState(seed)
     feats = rng.randn(num_nodes, feat).astype(np.float32)
     rec = dict(node_feats=feats, senders=send, receivers=recv)
     t0 = time.time()
+    if kernel == 'auto':
+        from pna_tpu.ops.layout import choose_layout
+        choice = choose_layout(send, recv, num_nodes, feat)
+        print(f"choose_layout -> {choice.kernel}: {choice.reason}",
+              flush=True)
+        kernel = choice.kernel
     deg = np.bincount(recv, minlength=num_nodes)
     if kernel == 'ell' and deg.max() > 256:
         return None, f"infeasible: max in-degree {int(deg.max())} -> " \
-                     f"[N, D_max] table {num_nodes * int(deg.max()) * 4 / 2**30:.0f} GiB"
+                     f"[N, D_max] table {num_nodes * int(deg.max()) * 4 / 2**30:.0f} GiB", kernel
     g = batch_graphs(
         [rec],
         with_ell=(kernel == 'ell'),
@@ -56,7 +66,7 @@ def make_graph(send, recv, num_nodes, feat, kernel, seed=0):
         sort_edges=True,
         bucket_by_degree=(kernel == 'bucketed'),
         bucket_max_buckets=8)
-    return g, time.time() - t0
+    return g, time.time() - t0, kernel
 
 
 def bench_backend(g, kernel, feat, towers, max_degree, n_steps=10):
@@ -72,13 +82,17 @@ def bench_backend(g, kernel, feat, towers, max_degree, n_steps=10):
         batch_norm=False, residual=True, compute_dtype=jnp.bfloat16,
         kernel=kernel, max_degree=max_degree)
     h = jnp.asarray(np.asarray(g.node_feats), jnp.float32)
+    # the graph MUST be a jit argument, not a closure: closed-over arrays
+    # become compile-time constants and the 5M-edge index tables blow up the
+    # remote compile helper (exit code 1 — the round-3/4 'pending' cells)
+    g = jax.device_put(g)
     variables = layer.init({'params': jax.random.PRNGKey(0)}, g, h,
                            train=False)
     tx = optax.adam(1e-3)
     opt_state = tx.init(variables['params'])
 
     @jax.jit
-    def step(params, opt_state, h):
+    def step(params, opt_state, g, h):
         def loss_fn(p):
             out = layer.apply({'params': p}, g, h, train=False)
             return jnp.mean(out * out)
@@ -88,12 +102,12 @@ def bench_backend(g, kernel, feat, towers, max_degree, n_steps=10):
 
     params = variables['params']
     t_c0 = time.time()
-    params, opt_state, loss = step(params, opt_state, h)
+    params, opt_state, loss = step(params, opt_state, g, h)
     jax.block_until_ready(loss)
     compile_s = time.time() - t_c0
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, h)
+        params, opt_state, loss = step(params, opt_state, g, h)
     jax.block_until_ready(loss)
     step_ms = (time.perf_counter() - t0) / n_steps * 1e3
     return step_ms, compile_s, float(loss)
@@ -141,23 +155,25 @@ def main():
         for kernel in args.backends:
             print(f'--- {regime} / {kernel}', flush=True)
             try:
-                g, build = make_graph(send, recv, args.nodes, args.feat,
-                                      kernel)
+                g, build, resolved = make_graph(send, recv, args.nodes,
+                                                args.feat, kernel)
                 if g is None:
                     entry[kernel] = dict(status=build)
                     print(kernel, build, flush=True)
                     continue
                 pad_ratio = float(g.senders.shape[0]) / num_edges
                 step_ms, compile_s, loss = bench_backend(
-                    g, kernel, args.feat, args.towers,
-                    max_degree=max_deg if kernel == 'pallas' else 0)
+                    g, resolved, args.feat, args.towers,
+                    max_degree=max_deg if resolved == 'pallas' else 0)
                 entry[kernel] = dict(
                     step_ms=round(step_ms, 2),
                     edges_per_sec=round(num_edges / (step_ms / 1e3)),
                     layout_build_s=round(build, 2),
                     compile_s=round(compile_s, 1),
                     edge_pad_ratio=round(pad_ratio, 3),
-                    loss=loss)
+                    loss=loss,
+                    **({'resolved_kernel': resolved}
+                       if kernel == 'auto' else {}))
                 print(kernel, entry[kernel], flush=True)
             except Exception as exc:  # OOM etc. — record honestly
                 entry[kernel] = dict(status=f'failed: {type(exc).__name__}: '

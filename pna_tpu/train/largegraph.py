@@ -204,10 +204,23 @@ def build_problem(cfg: LargeGraphConfig):
     else:
         raise ValueError(cfg.graph_kind)
 
+    kernel = cfg.kernel
+    if kernel == 'auto':
+        # codified backend decision (pna_tpu/ops/layout.py): predict each
+        # layout's working set from the degree histogram, per-part budget
+        import jax
+        from pna_tpu.ops.layout import choose_layout
+        choice = choose_layout(
+            send, recv, cfg.num_nodes, cfg.hidden_dim,
+            hbm_budget_bytes=12 * 2 ** 30 / max(cfg.d_graph, 1),
+            on_tpu=cfg.pallas_interpret or jax.default_backend() == 'tpu')
+        kernel = choice.kernel
+        print(f"[choose_layout] {kernel}: {choice.reason}")
+
     part = partition_edges(send, recv, cfg.num_nodes, cfg.d_graph)
-    if cfg.kernel in ('bucketed',):
+    if kernel in ('bucketed',):
         part = bucketize_partition(part)
-    elif cfg.kernel == 'pallas':
+    elif kernel == 'pallas':
         part = sort_partition_edges(part)
 
     feats = rng.randn(cfg.num_nodes, cfg.feat_dim).astype(np.float32)
@@ -233,7 +246,8 @@ def build_problem(cfg: LargeGraphConfig):
     d = np.maximum(deg, 1.0)
     avg_d = {'lin': float(np.mean(d)), 'log': float(np.mean(np.log(d + 1))),
              'exp': float(np.mean(np.exp(d))) if d.max() < 50 else 0.0}
-    return part, feats_p, labels_p, train_mask, val_mask, efeats, avg_d
+    return part, feats_p, labels_p, train_mask, val_mask, efeats, avg_d, \
+        kernel
 
 
 def train_largegraph(cfg: LargeGraphConfig, devices=None):
@@ -245,14 +259,14 @@ def train_largegraph(cfg: LargeGraphConfig, devices=None):
     mesh = Mesh(np.asarray(devices[:need]).reshape(cfg.d_data, cfg.d_graph),
                 ('data', 'graph'))
 
-    part, feats_p, labels_p, train_mask, val_mask, efeats, avg_d = (
-        build_problem(cfg))
+    (part, feats_p, labels_p, train_mask, val_mask, efeats, avg_d,
+     kernel) = build_problem(cfg)
     net = DistributedPNANet(
         hidden_dim=cfg.hidden_dim, out_dim=cfg.out_dim,
         n_layers=cfg.n_layers, towers=cfg.towers,
         aggregators=tuple(cfg.aggregators), scalers=tuple(cfg.scalers),
         avg_d=avg_d, batch_norm=cfg.batch_norm, residual=True,
-        bn_axes=('data', 'graph'), kernel=cfg.kernel,
+        bn_axes=('data', 'graph'), kernel=kernel,
         edge_features=efeats is not None, node_level=True,
         max_degree=cfg.max_degree, pallas_interpret=cfg.pallas_interpret)
 
