@@ -108,7 +108,10 @@ def bench_backend(g, kernel, feat, towers, max_degree, n_steps=10):
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, g, h)
-    jax.block_until_ready(loss)
+        # block on the FULL output tree every step: through the axon tunnel
+        # a bare block on the scalar loss returned early and under-measured
+        # (the bogus 0.12 ms pallas cell this fixed)
+        jax.block_until_ready((params, opt_state, loss))
     step_ms = (time.perf_counter() - t0) / n_steps * 1e3
     return step_ms, compile_s, float(loss)
 
@@ -141,9 +144,9 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             old = json.load(f)
-        for k in args.regimes:
-            if k in old:
-                results[k] = old[k]
+        for k, v in old.items():   # preserve every previously measured cell
+            if k not in results:   # incl. string fields like notes/timing
+                results[k] = v
 
     for regime in args.regimes:
         send, recv = build_inputs(args.nodes, num_edges,
