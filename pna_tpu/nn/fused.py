@@ -237,17 +237,26 @@ class PNALayerFused(nn.Module):
         Z = deg = moments = None
         if overlap is not None:
             # ---- split local/boundary aggregation (comm/compute overlap) --
-            if self.edge_features:
-                raise ValueError("overlap path has no edge-feature support")
             if not (scalers_ok and partial_stats.supports(self.aggregators)):
                 raise ValueError("overlap path requires sketch-decomposable "
                                  f"aggregators/scalers, got "
                                  f"{self.aggregators}/{self.scalers}")
-            halo, s_l, r_l, m_l, s_b, r_b, m_b = overlap
-            msg_l = pretrans(hb[s_l], hb[r_l])
+            # edge features live with their edge: the split carries them as
+            # pre-gathered e_l/e_b (no exchange, masked positions discarded
+            # by the partial sketches)
+            halo, s_l, r_l, m_l, s_b, r_b, m_b = overlap[:7]
+            e_l = e_b = None
+            if self.edge_features:
+                if len(overlap) != 9:
+                    raise ValueError("overlap with edge_features needs "
+                                     "(..., e_local, e_bound) — split the "
+                                     "embedded edge features with "
+                                     "SplitEdges.idx_local/idx_bound")
+                e_l, e_b = overlap[7:]
+            msg_l = pretrans(hb[s_l], hb[r_l], e_l)
             sk_l = partial_stats.partial_sketch(
                 msg_l.reshape(s_l.shape[0], T * Ft), r_l, N, m_l)
-            msg_b = pretrans(halo.astype(cdt)[s_b], hb[r_b])
+            msg_b = pretrans(halo.astype(cdt)[s_b], hb[r_b], e_b)
             sk_b = partial_stats.partial_sketch(
                 msg_b.reshape(s_b.shape[0], T * Ft), r_b, N, m_b)
             sk = partial_stats.combine(sk_l, sk_b)

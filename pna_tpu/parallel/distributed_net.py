@@ -94,7 +94,12 @@ class DistributedPNANet(nn.Module):
                 halo = halo_exchange(h, send_idx, send_mask, self.graph_axis)
                 if self.overlap:
                     assert split is not None
-                    layer_overlap = (halo,) + tuple(split)
+                    layer_overlap = (halo,) + tuple(split[:6])
+                    if self.edge_features:
+                        # split the embedded edge features to follow their
+                        # edges into the local/boundary halves
+                        idx_l, idx_b = split[6], split[7]
+                        layer_overlap = layer_overlap + (e[idx_l], e[idx_b])
                 else:
                     table = jnp.concatenate([h, halo], axis=0)
             h = PNALayerFused(
@@ -170,7 +175,7 @@ def _const_tables(part: EdgePartition, net: DistributedPNANet,
     bucket_spec = part.bucket_spec
     has_ptr = part.edge_ptr is not None
     has_e = efeats is not None
-    n_split = 6 if net.overlap else 0
+    n_split = (8 if has_e else 6) if net.overlap else 0
     nl = part.nodes_per_part
 
     tables = (part.senders_local, part.receivers_local, part.edge_mask,
@@ -187,6 +192,8 @@ def _const_tables(part: EdgePartition, net: DistributedPNANet,
         tables = tables + (sp.senders_local, sp.receivers_local,
                            sp.mask_local, sp.senders_bound,
                            sp.receivers_bound, sp.mask_bound)
+        if has_e:
+            tables = tables + (sp.idx_local, sp.idx_bound)
 
     def parse(*extra):
         i = 0

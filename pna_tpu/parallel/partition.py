@@ -329,6 +329,11 @@ class SplitEdges:
     senders_bound: np.ndarray     # [P, Kb] int32 — ids into the halo buffer
     receivers_bound: np.ndarray   # [P, Kb] int32
     mask_bound: np.ndarray        # [P, Kb] bool
+    # original local edge SLOT per split position (0 at padding) — lets
+    # per-edge data (edge features) follow its edge into the local/boundary
+    # split: e_local = e[idx_local], e_bound = e[idx_bound]
+    idx_local: np.ndarray = None  # [P, Kl] int32
+    idx_bound: np.ndarray = None  # [P, Kb] int32
 
 
 def split_edges(part: EdgePartition, pad_multiple: int = 8) -> SplitEdges:
@@ -351,16 +356,21 @@ def split_edges(part: EdgePartition, pad_multiple: int = 8) -> SplitEdges:
     sb = np.zeros((Pn, kb), np.int32)
     rb = np.zeros((Pn, kb), np.int32)
     mb = np.zeros((Pn, kb), bool)
+    il = np.zeros((Pn, kl), np.int32)
+    ib = np.zeros((Pn, kb), np.int32)
     for p in range(Pn):
         li, bi = loc_idx[p], bnd_idx[p]
         sl[p, :len(li)] = part.senders_local[p][li]
         rl[p, :len(li)] = part.receivers_local[p][li]
         ml[p, :len(li)] = True
+        il[p, :len(li)] = li
         sb[p, :len(bi)] = part.senders_local[p][bi] - nl
         rb[p, :len(bi)] = part.receivers_local[p][bi]
         mb[p, :len(bi)] = True
+        ib[p, :len(bi)] = bi
     return SplitEdges(senders_local=sl, receivers_local=rl, mask_local=ml,
-                      senders_bound=sb, receivers_bound=rb, mask_bound=mb)
+                      senders_bound=sb, receivers_bound=rb, mask_bound=mb,
+                      idx_local=il, idx_bound=ib)
 
 
 def bucketize_partition(part: EdgePartition,

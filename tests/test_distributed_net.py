@@ -398,3 +398,70 @@ def test_flagship_data_and_graph_parallel():
             b = b[k.key]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=str(path))
+
+
+@pytest.mark.parametrize("d_graph", [4])
+def test_flagship_distributed_overlap_edge_features_matches_oracle(d_graph):
+    """overlap=True + edge_features=True: the comm/compute-overlap split now
+    carries per-edge features into its local/boundary halves
+    (SplitEdges.idx_local/idx_bound) and still matches the single-device
+    oracle — the overlap mode is no longer edge-feature-blind."""
+    if len(jax.devices()) < d_graph:
+        pytest.skip("not enough devices")
+    num_nodes, num_edges, F, Fe = 48, 200, 6, 5
+    send, recv = powerlaw_graph(num_nodes, num_edges, seed=2)
+    pairs = np.unique(send * num_nodes + recv)
+    send, recv = pairs // num_nodes, pairs % num_nodes
+    part = partition_edges(send, recv, num_nodes, d_graph)
+    E = len(send)
+    rng = np.random.RandomState(4)
+    ef = rng.randn(E, Fe).astype(np.float32)
+    efeats = part.scatter_edge_features(ef)
+
+    net = DistributedPNANet(hidden_dim=8, out_dim=8, n_layers=2, towers=2,
+                            aggregators=AGGS, scalers=SCAL, avg_d=AVG_D,
+                            batch_norm=True, residual=True,
+                            bn_axes=('data', 'graph'), edge_features=True,
+                            overlap=True)
+    from pna_tpu.parallel.distributed_net import init_net as _init
+    params, stats = _init(net, part, F, seed=0, efeats=efeats)
+    g_full = full_graph(part, send, recv)
+    nl = part.nodes_per_part
+    e_full = np.zeros((g_full.senders.shape[0], Fe), np.float32)
+    e_full[:E] = ef
+
+    mesh = Mesh(np.asarray(jax.devices()[:d_graph]).reshape(1, d_graph),
+                ('data', 'graph'))
+    step, put_consts, tx = make_distributed_train_step(
+        part, mesh, net, tx=optax.sgd(1e-2), efeats=efeats)
+    feats_np = np.zeros((1, d_graph * nl, F), np.float32)
+    rng_f = np.random.RandomState(0).randn(num_nodes, F).astype(np.float32)
+    feats_np[0] = part.scatter_features(rng_f).reshape(d_graph * nl, F)
+    targets_np = np.asarray([0.7], np.float32)
+
+    o_loss, o_params, o_stats = _oracle_step(
+        net, params, stats, g_full, jnp.asarray(feats_np),
+        jnp.asarray(targets_np), tx, e_full=jnp.asarray(e_full))
+
+    feats_sharded = jax.device_put(
+        jnp.asarray(feats_np.reshape(1, d_graph, nl, F)),
+        NamedSharding(mesh, P('data', 'graph')))
+    targets = jax.device_put(jnp.asarray(targets_np),
+                             NamedSharding(mesh, P('data')))
+    new_params, new_stats, _, loss = step(params, stats, tx.init(params),
+                                          feats_sharded, targets,
+                                          *put_consts())
+
+    np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-4)
+    for path, a in jax.tree_util.tree_leaves_with_path(new_params):
+        b = o_params
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(path))
+    for path, a in jax.tree_util.tree_leaves_with_path(new_stats):
+        b = o_stats
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
