@@ -155,3 +155,27 @@ def test_neighbor_stats_labels_oracle():
         else:
             ref = 0.0
         np.testing.assert_allclose(y[i], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_data_and_graph_parallel():
+    """2x4 (data x graph) mesh: the node-level trainer runs with a real data
+    axis (broadcast full-batch features) and converges."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    _, _, hist = train_largegraph(_cfg(num_nodes=800, num_edges=4000,
+                                       d_data=2, d_graph=4, steps=12,
+                                       eval_every=6))
+    assert hist[-1]['train_loss'] < hist[0]['train_loss']
+
+
+def test_trainer_pallas_with_edge_features():
+    """kernel='pallas' (sorted layout, per-part edge_ptr) combined with
+    per-edge features — the full skew-capable flagship configuration —
+    trains under shard_map."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    _, _, hist = train_largegraph(_cfg(num_nodes=400, num_edges=2000,
+                                       d_graph=4, steps=4, eval_every=4,
+                                       kernel='pallas', edge_feat_dim=3,
+                                       pallas_interpret=True))
+    assert np.isfinite(hist[-1]['train_loss'])
