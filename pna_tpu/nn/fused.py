@@ -417,8 +417,13 @@ class PNALayerFused(nn.Module):
                                Z.reshape(N, A * T * Ft).astype(cdt),
                                W, preferred_element_type=jnp.float32)
                 y = y.reshape(N, T, Fo1, S)                     # [N,T,O,S]
-            out = out + jnp.einsum('ntos,sn->nto', y,
-                                   w.astype(jnp.float32)) + bp
+            # store y [N, T, O, S] in the compute dtype before the scaler
+            # contraction: in bf16 mode this halves the widest posttrans
+            # intermediate's traffic (the f32 accumulate already happened
+            # inside the matmuls; the scaler weighting re-accumulates in f32)
+            out = out + jnp.einsum('ntos,sn->nto', y.astype(cdt),
+                                   w.astype(cdt),
+                                   preferred_element_type=jnp.float32) + bp
         else:
             # generic path: materialized aggregator x scaler bank
             self_msg = None
