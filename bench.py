@@ -25,7 +25,10 @@ reading of vs_baseline is "self-improvement of the framework's fast path").
 
 Flags: --kernel {auto,bucketed,ell,pallas,generic} picks the aggregation
 backend (pna_tpu/nn/fused.py), --batch scales the graph batch, --dtype
-restricts measurement to one dtype.
+restricts measurement to one dtype.  The optimizer runs as ONE fused Adam
+over a flattened param vector by default (--no_flat_opt for per-tensor
+updates); step args are donated; --remat and --max_buckets expose the
+measured-and-rejected experiment knobs (RESULTS_byteaudit.json).
 """
 
 import argparse
