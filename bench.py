@@ -144,40 +144,68 @@ def build_bench(batch_graphs_n=1024, seed=0, edge_feat=True,
     return train_step, state, (graph, labels_j), n_edges, n_nodes, args
 
 
+class BenchRunner:
+    """One compiled train-step executable plus its carried state.
+
+    Exposes ``time_block(n)`` so the caller can interleave timing blocks of
+    different configs (dtypes) and take per-config minima — the defense
+    against machine-state drift (tunnel contention, clock state) that made
+    single-shot measurements vary by >30% between runs (VERDICT r4 weak #1).
+    """
+
+    def __init__(self, batch, edge_feat, compute_dtype, kernel,
+                 max_buckets=4, flat_opt=False, remat=False):
+        import jax
+        train_step, state, dev_batch, n_edges, n_nodes, args = build_bench(
+            batch_graphs_n=batch, edge_feat=edge_feat,
+            compute_dtype=compute_dtype, kernel=kernel,
+            max_buckets=max_buckets, flat_opt=flat_opt, remat=remat)
+        # compile ONCE (AOT); reuse the executable for cost analysis + timing
+        self.compiled = train_step.lower(*args).compile()
+        self.flops, self.hbm_bytes = 0.0, 0.0
+        try:
+            ca = self.compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            self.flops = float(ca.get("flops", 0.0))
+            self.hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        except Exception:
+            pass
+        self.graph, self.labels = dev_batch
+        self.params, self.batch_stats, self.opt_state = state
+        self.n_edges, self.n_nodes = n_edges, n_nodes
+        self._jax = jax
+
+    def _run(self, n):
+        p, bs, os_, g, lb = (self.params, self.batch_stats, self.opt_state,
+                             self.graph, self.labels)
+        l = None
+        for _ in range(n):
+            p, bs, os_, l = self.compiled(p, bs, os_, g, lb)
+        self._jax.block_until_ready(l)
+        self.params, self.batch_stats, self.opt_state = p, bs, os_
+
+    def warmup(self, n=5):
+        self._run(n)
+
+    def time_block(self, n):
+        t0 = time.perf_counter()
+        self._run(n)
+        return (time.perf_counter() - t0) / n
+
+
 def run_config(batch, edge_feat, compute_dtype, kernel, n_iters,
                max_buckets=4, flat_opt=False, remat=False):
-    import jax
-    train_step, state, dev_batch, n_edges, n_nodes, args = build_bench(
-        batch_graphs_n=batch, edge_feat=edge_feat,
-        compute_dtype=compute_dtype, kernel=kernel, max_buckets=max_buckets,
-        flat_opt=flat_opt, remat=remat)
-    # compile ONCE (AOT) and reuse the executable for cost analysis + timing
-    compiled = train_step.lower(*args).compile()
-    flops, hbm_bytes = 0.0, 0.0
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        hbm_bytes = float(ca.get("bytes accessed", 0.0))
-    except Exception:
-        pass
-
-    graph, labels = dev_batch
-    params, batch_stats, opt_state = state
-    # warmup
-    params, batch_stats, opt_state, l = compiled(
-        params, batch_stats, opt_state, graph, labels)
-    jax.block_until_ready(l)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        params, batch_stats, opt_state, l = compiled(
-            params, batch_stats, opt_state, graph, labels)
-    jax.block_until_ready(l)
-    dt = (time.perf_counter() - t0) / n_iters
-    return dict(step_ms=dt * 1e3, n_edges=n_edges, n_nodes=n_nodes,
-                edges_per_sec=n_edges * N_LAYERS / dt,
-                flops_per_step=flops, hbm_bytes_per_step=hbm_bytes, dt=dt)
+    """Single-config path (kept for scripts importing run_config)."""
+    r = BenchRunner(batch, edge_feat, compute_dtype, kernel,
+                    max_buckets=max_buckets, flat_opt=flat_opt, remat=remat)
+    r.warmup(5)
+    blocks = [r.time_block(max(1, n_iters // 3)) for _ in range(3)]
+    dt = min(blocks)
+    return dict(step_ms=dt * 1e3, n_edges=r.n_edges, n_nodes=r.n_nodes,
+                edges_per_sec=r.n_edges * N_LAYERS / dt,
+                flops_per_step=r.flops, hbm_bytes_per_step=r.hbm_bytes,
+                dt=dt, block_ms=[b * 1e3 for b in blocks])
 
 
 def main():
@@ -187,7 +215,19 @@ def main():
                     choices=["auto", "bucketed", "ell", "pallas", "generic"])
     ap.add_argument("--dtype", default="both", choices=["both", "f32", "bf16"])
     ap.add_argument("--no_edge_feat", action="store_true")
-    ap.add_argument("--iters", type=int, default=30)
+    # block size matters: switching between two compiled executables through
+    # the axon tunnel costs ~25-30 ms, so blocks must be >=40 iterations for
+    # the switch cost to vanish in the block mean (measured 2026-08-21:
+    # 6-iter blocks inflate the step 9.3 -> 13.1 ms; 40-iter blocks read
+    # 9.08 ms with 0.1 ms spread)
+    ap.add_argument("--iters", type=int, default=120,
+                    help="total timed iterations per dtype (split into "
+                         "--repeats interleaved blocks)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="interleaved timing blocks per dtype; the reported "
+                         "time is the MIN block mean")
+    ap.add_argument("--warmup", type=int, default=8,
+                    help="warmup iterations per dtype before timing")
     ap.add_argument("--max_buckets", type=int, default=4)
     # fused Adam over one flattened param vector: cuts ~300 small per-tensor
     # update ops from the step (measured 9.55 -> 9.34 ms on v5e); default on
@@ -211,15 +251,41 @@ def main():
               "config": "ZINC headline (L=4, hidden 70, out 60, edge_dim 50,"
                         " towers 5)" if edge_feat else
                         "ZINC no-edge-feat (L=4, hidden 75, out 70, towers 5)"}
+    # Build every requested dtype's executable up front, warm each, then
+    # INTERLEAVE timing blocks (f32, bf16, f32, bf16, ...) taking the
+    # per-dtype minimum block mean.  A machine-state glitch (tunnel
+    # contention, clock dip) then hits all dtypes alike instead of biasing
+    # whichever happened to run last, and the min discards it entirely.
+    configs = [(name, cdt) for name, cdt in (("f32", None),
+                                             ("bf16", jnp.bfloat16))
+               if args.dtype in ("both", name)]
+    runners = {}
+    for name, cdt in configs:
+        runners[name] = BenchRunner(
+            args.batch, edge_feat, cdt, args.kernel,
+            max_buckets=args.max_buckets, flat_opt=args.flat_opt,
+            remat=args.remat)
+        runners[name].warmup(args.warmup)
+    block_n = max(1, args.iters // args.repeats)
+    blocks = {name: [] for name, _ in configs}
+    for _ in range(args.repeats):
+        for name, _ in configs:
+            blocks[name].append(runners[name].time_block(block_n))
+
     results = {}
-    for name, cdt in (("f32", None), ("bf16", jnp.bfloat16)):
-        if args.dtype != "both" and args.dtype != name:
-            continue
-        r = run_config(args.batch, edge_feat, cdt, args.kernel, args.iters,
-                       max_buckets=args.max_buckets, flat_opt=args.flat_opt,
-                       remat=args.remat)
+    for name, _ in configs:
+        runner = runners[name]
+        dt = min(blocks[name])
+        r = dict(step_ms=dt * 1e3, n_edges=runner.n_edges,
+                 n_nodes=runner.n_nodes,
+                 edges_per_sec=runner.n_edges * N_LAYERS / dt,
+                 flops_per_step=runner.flops,
+                 hbm_bytes_per_step=runner.hbm_bytes, dt=dt)
         entry = {"step_ms": round(r["step_ms"], 3),
-                 "edges_per_sec": round(r["edges_per_sec"], 1)}
+                 "edges_per_sec": round(r["edges_per_sec"], 1),
+                 "block_ms": [round(b * 1e3, 3) for b in blocks[name]],
+                 "spread_ms": round(
+                     (max(blocks[name]) - min(blocks[name])) * 1e3, 3)}
         if r["flops_per_step"]:
             # XLA cost analysis counts every op's operand bytes, including
             # fused intermediates that never reach HBM — so its byte count is

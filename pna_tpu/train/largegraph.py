@@ -204,20 +204,35 @@ def build_problem(cfg: LargeGraphConfig):
     else:
         raise ValueError(cfg.graph_kind)
 
+    part = partition_edges(send, recv, cfg.num_nodes, cfg.d_graph)
+
     kernel = cfg.kernel
     if kernel == 'auto':
-        # codified backend decision (pna_tpu/ops/layout.py): predict each
-        # layout's working set from the degree histogram, per-part budget
+        # codified backend decision (pna_tpu/ops/layout.py), fed the ACTUAL
+        # heaviest part's edges rather than assuming an even E/P split —
+        # under hub/receiver skew one part can hold far more than E/P edges
+        # and its bucket table must fit ITS device's budget (ADVICE r4)
         import jax
         from pna_tpu.ops.layout import choose_layout
+        part_edge_counts = part.edge_mask.sum(axis=1)
+        p_heavy = int(np.argmax(part_edge_counts))
+        orig = part.edge_origin[p_heavy][part.edge_mask[p_heavy]] \
+            if part.edge_origin is not None else None
+        if orig is not None:
+            send_h, recv_h = send[orig], recv[orig]
+        else:                      # fallback: global arrays, averaged budget
+            send_h, recv_h = send, recv
+        budget = 12 * 2 ** 30 if orig is not None \
+            else 12 * 2 ** 30 / max(cfg.d_graph, 1)
         choice = choose_layout(
-            send, recv, cfg.num_nodes, cfg.hidden_dim,
-            hbm_budget_bytes=12 * 2 ** 30 / max(cfg.d_graph, 1),
+            send_h, recv_h, cfg.num_nodes, cfg.hidden_dim,
+            hbm_budget_bytes=budget,
             on_tpu=cfg.pallas_interpret or jax.default_backend() == 'tpu')
         kernel = choice.kernel
-        print(f"[choose_layout] {kernel}: {choice.reason}")
+        print(f"[choose_layout] {kernel} (heaviest part "
+              f"{int(part_edge_counts[p_heavy])} of {cfg.num_edges} edges): "
+              f"{choice.reason}")
 
-    part = partition_edges(send, recv, cfg.num_nodes, cfg.d_graph)
     if kernel in ('bucketed',):
         part = bucketize_partition(part)
     elif kernel == 'pallas':
@@ -251,7 +266,7 @@ def build_problem(cfg: LargeGraphConfig):
 
 
 def train_largegraph(cfg: LargeGraphConfig, devices=None):
-    """Run the distributed trainer; returns (final params, history list)."""
+    """Run the distributed trainer; returns (params, batch_stats, history)."""
     devices = devices if devices is not None else jax.devices()
     need = cfg.d_data * cfg.d_graph
     if len(devices) < need:
@@ -293,6 +308,7 @@ def train_largegraph(cfg: LargeGraphConfig, devices=None):
                            NamedSharding(mesh, P('graph')))
 
     start = 0
+    best_val, since_best = float('inf'), 0
     mgr = None
     if cfg.ckpt_dir:
         mgr = CheckpointManager(cfg.ckpt_dir, keep_best=1, mode='min')
@@ -304,11 +320,15 @@ def train_largegraph(cfg: LargeGraphConfig, devices=None):
             opt_state = jax.tree_util.tree_map(jnp.asarray,
                                                state['opt_state'])
             start = int(meta['step'])
-            print(f"[resume] from step {start}")
+            # restore the early-stop state so patience does not reset on
+            # every resume (ADVICE r4)
+            best_val = float(meta.get('best_val', float('inf')))
+            since_best = int(meta.get('since_best', 0))
+            print(f"[resume] from step {start} (best_val={best_val:.6g}, "
+                  f"since_best={since_best})")
 
     history = []
     logf = open(cfg.log_path, 'a') if cfg.log_path else None
-    best_val, since_best = float('inf'), 0
     t0 = time.time()
     for it in range(start, cfg.steps):
         params, stats, opt_state, loss = step(params, stats, opt_state,
@@ -336,7 +356,9 @@ def train_largegraph(cfg: LargeGraphConfig, devices=None):
             save_checkpoint(os.path.join(cfg.ckpt_dir, 'latest.ckpt'),
                             {'params': params, 'stats': stats,
                              'opt_state': opt_state},
-                            metadata={'step': it + 1})
+                            metadata={'step': it + 1,
+                                      'best_val': best_val,
+                                      'since_best': since_best})
         if cfg.patience and since_best >= cfg.patience:
             print(f"[early stop] no val improvement in {cfg.patience} evals")
             break
