@@ -231,10 +231,12 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
     nl = part.nodes_per_part
     bucket_spec = part.bucket_spec
     tables, parse = _const_tables(part, net, efeats)
-    # interpret-mode pallas_call does not support shard_map's vma checking
-    # (mixed-varying dynamic_slice inside the HLO interpreter); compiled TPU
-    # pallas does (vma is set on the kernel out_shapes).
-    check_vma = not (net.kernel == 'pallas' and net.pallas_interpret)
+    # pallas_call does not support shard_map's vma checking on any backend:
+    # interpret mode rejects mixed-varying dynamic_slice in the HLO
+    # interpreter, and the compiled TPU path fails to lower the inserted
+    # `pvary` primitive inside the kernel (measured on the real chip,
+    # 2026-08-21).
+    check_vma = net.kernel != 'pallas'
 
     def local_loss(params, batch_stats, feats, targets, senders_l,
                    receivers_l, edge_mask, send_idx, send_mask, node_mask,

@@ -84,8 +84,11 @@ def make_node_train_step(part: EdgePartition, mesh: Mesh,
     tables, parse = _const_tables(part, net, efeats)
     table_spec = P(graph_axis)
     n_tables = len(tables)
-    # interpret-mode pallas does not support shard_map vma checking
-    check_vma = not (net.kernel == 'pallas' and net.pallas_interpret)
+    # pallas does not support shard_map vma checking on any backend: in
+    # interpret mode the checker rejects the kernel, and on real TPU the
+    # inserted `pvary` primitive has no Pallas TC lowering (hit 2026-08-21
+    # running the hub-skewed dryrun config on the real chip)
+    check_vma = net.kernel != 'pallas'
 
     def local_forward(params, batch_stats, feats, targets, lmask, senders_l,
                       receivers_l, edge_mask, send_idx, send_mask, node_mask,
