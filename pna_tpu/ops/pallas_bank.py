@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from pna_tpu.ops.fused_vjp import EPS, _AGGS, _SCALERS
-from pna_tpu.ops.pallas_kernels import sorted_moment_sketch
+from pna_tpu.ops.pallas_kernels import sorted_dmsg, sorted_moment_sketch
 
 # backward gather strategy threshold: below this many bytes the six node
 # fields are concatenated and gathered once ([E, 6F], fastest at molecular
@@ -68,7 +68,8 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
                          edge_mask: Optional[jnp.ndarray],
                          edge_ptr: jnp.ndarray,
                          max_degree: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         bwd_kernel: bool = True):
     """Bind the graph layout; returns ``raw(msg, aggregators) -> Z [N, A, F]``
     (f32, aggregators in caller order) with a full custom VJP.
 
@@ -105,13 +106,13 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
 
     def raw(msg, aggregators):
         return _pallas_raw(tuple(aggregators), max_degree, interpret,
-                           msg, ptr, cnt, receivers, em)
+                           bwd_kernel, msg, ptr, cnt, receivers, em)
     return raw
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pallas_raw(aggregators, max_degree, interpret, msg, ptr, cnt,
-                receivers, edge_mask):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _pallas_raw(aggregators, max_degree, interpret, bwd_kernel, msg, ptr,
+                cnt, receivers, edge_mask):
     s, sq, mx, mn = sorted_moment_sketch(
         msg.astype(jnp.float32), ptr, with_ties=False,
         max_degree=max_degree, interpret=interpret)
@@ -119,8 +120,8 @@ def _pallas_raw(aggregators, max_degree, interpret, msg, ptr, cnt,
     return out
 
 
-def _pallas_raw_fwd(aggregators, max_degree, interpret, msg, ptr, cnt,
-                    receivers, edge_mask):
+def _pallas_raw_fwd(aggregators, max_degree, interpret, bwd_kernel, msg, ptr,
+                    cnt, receivers, edge_mask):
     s, sq, mx, mn, ties_mx, ties_mn = sorted_moment_sketch(
         msg.astype(jnp.float32), ptr, with_ties=True,
         max_degree=max_degree, interpret=interpret)
@@ -129,7 +130,8 @@ def _pallas_raw_fwd(aggregators, max_degree, interpret, msg, ptr, cnt,
                  ptr, cnt, receivers, edge_mask)
 
 
-def _pallas_raw_bwd(aggregators, max_degree, interpret, res, d_agg):
+def _pallas_raw_bwd(aggregators, max_degree, interpret, bwd_kernel, res,
+                    d_agg):
     (msg, mean, var_raw, std, mx, mn, ties_mx, ties_mn,
      ptr, cnt, receivers, edge_mask) = res
     msg32 = msg.astype(jnp.float32)
@@ -163,7 +165,13 @@ def _pallas_raw_bwd(aggregators, max_degree, interpret, res, d_agg):
     g_min = g_min / ties_mn
 
     E = receivers.shape[0]
-    if E * 6 * F * 4 <= WIDE_GATHER_BYTES_LIMIT:
+    if bwd_kernel:
+        # streaming Pallas sweep: the node fields are expanded to edges with
+        # one-hot MXU matmuls over the receiver-sorted layout — no [E, 6F]
+        # gather tensor, no gather at all (pallas_kernels.sorted_dmsg)
+        d_msg = sorted_dmsg(msg32, ptr, g_lin, g_quad, g_max, g_min, mx, mn,
+                            interpret=interpret)
+    elif E * 6 * F * 4 <= WIDE_GATHER_BYTES_LIMIT:
         # one wide gather of the six node fields through receivers (TPU
         # gather cost is per-row, flat in width)
         fields = jnp.concatenate([g_lin, g_quad, g_max, g_min, mx, mn],

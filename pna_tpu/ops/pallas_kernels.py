@@ -583,6 +583,186 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
     return tuple(outs)
 
 
+# ------------------------------------------------------------------
+# backward sweep: node gradient fields -> per-edge message gradient
+# ------------------------------------------------------------------
+
+def _dmsg_kernel(lo_s, hi_s,              # SMEM [1, 1, TILE_N]
+                 lo_r, hi_r,              # VMEM [1, 1, TILE_N]
+                 g_lin, g_quad, g_max, g_min, mx, mn,   # VMEM [TILE_N, TILE_F]
+                 msg_hbm,                 # ANY  [E_pad, F_pad]
+                 out_hbm,                 # ANY  [E_pad, F_pad]  (output)
+                 d_buf, old_buf, sem_r, sem_o, sem_w):
+    """Per (node tile, feature tile): stream the tile's edge window and write
+
+        d_msg[e] = g_lin[r] + 2 msg[e] g_quad[r]
+                   + (msg[e]==mx[r]) g_max[r] + (msg[e]==mn[r]) g_min[r]
+
+    for every edge e with receiver r in this tile.  The node->edge expansion
+    is a one-hot [TILE_E, TILE_N] MXU matmul per field (receivers are sorted,
+    so each node's edges are one contiguous segment) — the [E, 6F]
+    wide-gather tensor of the XLA backward never exists.
+
+    Boundary chunks are shared between consecutive node tiles: each program
+    zero-fills foreign rows and, when its window starts mid-chunk, merges
+    over the previous program's write (read-modify-write; the TPU grid runs
+    sequentially on the core, so the read observes the completed write)."""
+    j = pl.program_id(1)
+
+    e_start = lo_s[0, 0, 0]
+    e_end = hi_s[0, 0, TILE_N - 1]
+    c0 = e_start // TILE_E
+    c1 = pl.cdiv(e_end, TILE_E)
+    misaligned = e_start % TILE_E != 0
+
+    lo_row = lo_r[0]                       # [1, TILE_N] int32
+    hi_row = hi_r[0]
+    sub_e = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, 1), 0)
+
+    gl = g_lin[:]
+    gq = g_quad[:]
+    gx = g_max[:]
+    gn = g_min[:]
+    vx = mx[:]
+    vn = mn[:]
+
+    def sweep(c, _):
+        e0 = pl.multiple_of(c * TILE_E, TILE_E)
+        rd = pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)],
+            d_buf, sem_r)
+        rd.start()
+
+        abs_e_col = sub_e + e0                             # [TILE_E, 1]
+        onehot = ((abs_e_col >= lo_row)
+                  & (abs_e_col < hi_row)).astype(jnp.float32)
+        # one-hot expansions are exact (one unit row element per edge)
+        ex_lin = jnp.dot(onehot, gl, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        ex_quad = jnp.dot(onehot, gq, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        ex_gmax = jnp.dot(onehot, gx, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        ex_gmin = jnp.dot(onehot, gn, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        ex_mx = jnp.dot(onehot, vx, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        ex_mn = jnp.dot(onehot, vn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+        rd.wait()
+        m = d_buf[:]
+        within = (abs_e_col >= e_start) & (abs_e_col < e_end)
+        d = (ex_lin + 2.0 * m * ex_quad
+             + (m == ex_mx).astype(jnp.float32) * ex_gmax
+             + (m == ex_mn).astype(jnp.float32) * ex_gmin)
+        d = jnp.where(within, d, 0.0)
+
+        # merge over the previous tile's write when our window starts
+        # mid-chunk (sequential grid: that write has completed)
+        @pl.when((c == c0) & misaligned)
+        def _():
+            rd_old = pltpu.make_async_copy(
+                out_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)],
+                old_buf, sem_o)
+            rd_old.start()
+            rd_old.wait()
+            d_buf[:] = jnp.where(within, d, old_buf[:])
+
+        @pl.when(jnp.logical_not((c == c0) & misaligned))
+        def _():
+            d_buf[:] = d
+
+        wr = pltpu.make_async_copy(
+            d_buf,
+            out_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)], sem_w)
+        wr.start()
+        wr.wait()
+        return 0
+
+    jax.lax.fori_loop(c0, c1, sweep, 0)
+
+
+def sorted_dmsg(msg: jnp.ndarray, edge_ptr: jnp.ndarray,
+                g_lin: jnp.ndarray, g_quad: jnp.ndarray,
+                g_max: jnp.ndarray, g_min: jnp.ndarray,
+                mx: jnp.ndarray, mn: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """Backward of the moment sketch: expand the per-node gradient fields to
+    edges in one streaming sweep over the receiver-sorted edge list.
+
+    msg       [E, F]   the forward's edge messages (f32, receiver-sorted)
+    edge_ptr  [N + 1]  CSR row pointers (clamped to real edges by caller)
+    g_lin, g_quad, g_max, g_min, mx, mn   [N, F]  node gradient fields
+              (g_max/g_min pre-divided by tie counts; mx/mn the forward's
+              per-node max/min values, for the tie membership test)
+
+    Returns d_msg [E, F] f32.  Rows outside every node's range (padding) are
+    NOT written — callers must mask with the edge mask.  Replaces the
+    [E, 6F] wide gather of ``pallas_bank._pallas_raw_bwd`` with sequential
+    chunk DMA + one-hot MXU expansion (zero gathers, zero scatters).
+    """
+    E, F = msg.shape
+    N = edge_ptr.shape[0] - 1
+    n_tiles = -(-N // TILE_N)
+    n_pad = n_tiles * TILE_N
+    f_tiles = -(-F // TILE_F)
+    f_pad = f_tiles * TILE_F
+    e_pad = max(_round_up(E, TILE_E), TILE_E)
+    if F != f_pad or E != e_pad:
+        msg = jnp.pad(msg, ((0, e_pad - E), (0, f_pad - F)))
+    fields = []
+    for x in (g_lin, g_quad, g_max, g_min, mx, mn):
+        if x.shape != (n_pad, f_pad):
+            x = jnp.pad(x, ((0, n_pad - N), (0, f_pad - F)))
+        fields.append(x.astype(jnp.float32))
+
+    lo = edge_ptr[:-1]
+    hi = edge_ptr[1:]
+    if n_pad != N:
+        tail = jnp.full((n_pad - N,), edge_ptr[-1], jnp.int32)
+        lo = jnp.concatenate([lo, tail])
+        hi = jnp.concatenate([hi, tail])
+    lo_rows = lo.reshape(n_tiles, 1, TILE_N)
+    hi_rows = hi.reshape(n_tiles, 1, TILE_N)
+
+    vma = frozenset().union(*[getattr(jax.typeof(x), 'vma', frozenset())
+                              for x in (msg, edge_ptr)])
+    out_shape = jax.ShapeDtypeStruct((e_pad, f_pad), jnp.float32, vma=vma)
+    row_spec = pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    field_spec = pl.BlockSpec((TILE_N, TILE_F), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _dmsg_kernel,
+        grid=(n_tiles, f_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TILE_N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec, row_spec,
+            field_spec, field_spec, field_spec, field_spec,
+            field_spec, field_spec,
+            pl.BlockSpec(memory_space=pl.ANY),   # msg stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TILE_E, TILE_F), jnp.float32),
+            pltpu.VMEM((TILE_E, TILE_F), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(lo_rows, hi_rows, lo_rows, hi_rows, *fields, msg)
+
+    if e_pad != E or f_pad != F:
+        out = out[:E, :F]
+    return out
+
+
 def pretrans_fits_vmem(n_nodes: int, dtype_bytes: int = 4,
                        budget_bytes: int = 12 * 2 ** 20) -> bool:
     """Whether the resident u tile [N_pad, 128] fits the VMEM budget."""

@@ -172,3 +172,36 @@ def test_narrow_gather_backward_matches_wide():
     wide = grad_with(1 << 40)
     narrow = grad_with(0)
     np.testing.assert_allclose(narrow, wide, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("skew", [False, True])
+def test_bwd_kernel_matches_gather_backward(skew):
+    """The streaming d_msg kernel (sorted_dmsg) must reproduce the gather
+    backward exactly — across node-tile boundaries (N > TILE_N forces
+    boundary-chunk read-modify-write merges) and under hub-degree skew."""
+    from pna_tpu.ops import pallas_bank
+    rng = np.random.RandomState(7)
+    N, F, E = 300, 24, 2600
+    if skew:
+        # one hub node owns ~half the edges (chunk-spanning segments)
+        recv = np.where(rng.rand(E) < 0.5, 17,
+                        rng.randint(0, N, E)).astype(np.int32)
+    else:
+        recv = rng.randint(0, N, E).astype(np.int32)
+    recv = np.sort(recv)
+    ptr = np.zeros(N + 1, np.int32)
+    ptr[1:] = np.searchsorted(recv, np.arange(1, N + 1))
+    msg = rng.randn(E, F).astype(np.float32)
+    msg[5] = msg[4]          # tie material
+    aggs = ('mean', 'max', 'min', 'std')
+
+    def grad_with(bwd_kernel):
+        bank = pallas_bank.make_pallas_raw_bank(
+            jnp.asarray(recv), None, jnp.asarray(ptr), interpret=True,
+            bwd_kernel=bwd_kernel)
+        f = lambda m: jnp.sum(jnp.cos(bank(m, aggs)))
+        return np.asarray(jax.grad(f)(jnp.asarray(msg)))
+
+    g_kernel = grad_with(True)
+    g_gather = grad_with(False)
+    np.testing.assert_allclose(g_kernel, g_gather, rtol=1e-5, atol=1e-6)
