@@ -212,7 +212,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--kernel", default="auto",
-                    choices=["auto", "bucketed", "ell", "pallas", "generic"])
+                    choices=["auto", "bucketed", "ell", "pallas",
+                             "pallas_fused", "generic"])
     ap.add_argument("--dtype", default="both", choices=["both", "f32", "bf16"])
     ap.add_argument("--no_edge_feat", action="store_true")
     # block size matters: switching between two compiled executables through

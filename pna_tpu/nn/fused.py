@@ -231,8 +231,34 @@ class PNALayerFused(nn.Module):
                 m = ein(jax.nn.relu(m), pre_ks[i]) + pre_bs[i]
             return m      # [K, T, Ft], flat view is tower-major [K, T*Ft]
 
-        from pna_tpu.ops import fused_vjp, pallas_bank, partial_stats
+        from pna_tpu.ops import (fused_vjp, pallas_bank, pallas_fused,
+                                 partial_stats)
+        from pna_tpu.ops.pallas_kernels import pretrans_fits_vmem
         scalers_ok = all(s in fused_vjp._SCALERS for s in self.scalers)
+
+        # fully-fused path (kernel='pallas_fused'): pretrans + moment sketch
+        # in one Pallas kernel per pass — the [E, T*Ft] message tensor never
+        # exists in HBM (VERDICT r4 item 2).  Requires the sorted layout,
+        # a single pretrans layer (the kernel computes u[snd] + v[rcv]
+        # [+ e @ Ke] only) and the u tile fitting VMEM.
+        fused_pre = self.kernel == 'pallas_fused' and overlap is None
+        if fused_pre:
+            if graph.edge_ptr is None:
+                raise ValueError("kernel='pallas_fused' requires "
+                                 "graph.edge_ptr "
+                                 "(batch_graphs(sort_edges=True))")
+            if not (scalers_ok and 'identity' not in self.aggregators
+                    and pallas_fused.supports(self.aggregators)):
+                raise ValueError("kernel='pallas_fused' requires supported "
+                                 "aggregators/scalers, got "
+                                 f"{self.aggregators}/{self.scalers}")
+            if self.pretrans_layers != 1:
+                raise ValueError("kernel='pallas_fused' supports "
+                                 "pretrans_layers=1 only")
+            if not pretrans_fits_vmem(N, 2 if cdt == jnp.bfloat16 else 4):
+                raise ValueError(
+                    f"kernel='pallas_fused': u tile for N={N} exceeds VMEM; "
+                    "use kernel='pallas'")
 
         Z = deg = moments = None
         if overlap is not None:
@@ -262,6 +288,24 @@ class PNALayerFused(nn.Module):
             sk = partial_stats.combine(sk_l, sk_b)
             Z = partial_stats.finalize_bank(sk, tuple(self.aggregators))
             deg = sk.cnt
+        elif fused_pre:
+            # node-level pretrans halves: u = h W_src (flat tower-major),
+            # v = h W_dst + b0; the per-edge message u[snd] + v[rcv]
+            # (+ e @ Ke) is formed inside the kernels only
+            h_src = hb if sender_table is None else sender_table.astype(cdt)
+            if self.divide_input:
+                u = ein(h_src.reshape(-1, T, Ft), k_src)
+                vv = ein(hb.reshape(N, T, Ft), k_dst)
+            else:
+                u = ein_shared(h_src, k_src)
+                vv = ein_shared(hb, k_dst)
+            u = u.reshape(-1, T * Ft).astype(cdt)
+            vv = (vv + b0).reshape(N, T * Ft).astype(cdt)
+            ef = ke_flat = None
+            if self.edge_features:
+                ef = e.astype(cdt)
+                ke_flat = jnp.transpose(k0[:, 2 * Ft:].astype(cdt),
+                                        (1, 0, 2)).reshape(Fe, T * Ft)
         else:
             src = (hb if sender_table is None
                    else sender_table.astype(cdt))[graph.senders]  # [E, in_dim]
@@ -306,15 +350,26 @@ class PNALayerFused(nn.Module):
                              "aggregators/scalers")
         if bucket_fast:
             ell_fast = pallas_fast = False
-        if have_z or bucket_fast or ell_fast or pallas_fast:
+        if have_z or bucket_fast or ell_fast or pallas_fast or fused_pre:
             # store the edge messages (the widest tensor of the layer) in the
             # compute dtype: the banks upcast to f32 at the reduction inputs
             # (convert fuses into the reduce), so accumulation stays f32 while
             # HBM traffic through [E, T*Ft] halves under bf16
-            if not have_z:
+            if not have_z and not fused_pre:
                 msg = msg.astype(cdt)
             if have_z:
                 pass                               # overlap path set Z/deg
+            elif fused_pre:
+                bank = pallas_fused.make_fused_pretrans_bank(
+                    graph.senders, graph.receivers, graph.edge_mask,
+                    graph.edge_ptr, max_degree=self.max_degree,
+                    interpret=self.pallas_interpret)
+                Z = bank(u, vv, ef, ke_flat, tuple(self.aggregators))
+                ptr = graph.edge_ptr
+                if graph.edge_mask is not None:
+                    n_real = jnp.sum(graph.edge_mask.astype(jnp.int32))
+                    ptr = jnp.minimum(ptr, n_real)
+                deg = (ptr[1:] - ptr[:-1]).astype(jnp.float32)
             elif pallas_fast:
                 bank = pallas_bank.make_pallas_raw_bank(
                     graph.receivers, graph.edge_mask, graph.edge_ptr,

@@ -479,14 +479,17 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
 
     The per-edge message u[senders[e]] + v[recv(e)] (+ e_feats[e] @ ke) is
     formed in VMEM only.  Returns the same outputs as
-    ``sorted_moment_sketch``.  Requires the u feature tile [N_pad, 128] to
-    fit in VMEM (~N <= 45k in bf16) — caller must check ``fits_vmem``.
+    ``sorted_moment_sketch``.  Requires the u feature tile [Nu_pad, 128] to
+    fit in VMEM (~Nu <= 45k in bf16) — caller must check ``fits_vmem``.
+    u may have MORE rows than v (distributed ghost table: local + halo
+    sender features); ``senders`` indexes u, ``edge_ptr`` spans v's nodes.
     """
-    N, M = u.shape
-    assert v.shape == (N, M)
-    if not pretrans_fits_vmem(N, u.dtype.itemsize):
+    Nu, M = u.shape
+    N = v.shape[0]
+    assert v.shape[1] == M
+    if not pretrans_fits_vmem(Nu, u.dtype.itemsize):
         raise ValueError(
-            f"sorted_pretrans_sketch: resident u tile for N={N} "
+            f"sorted_pretrans_sketch: resident u tile for N={Nu} "
             f"({u.dtype}) exceeds the VMEM budget; use the unfused "
             "sorted_moment_sketch path instead (check pretrans_fits_vmem "
             "before calling)")
@@ -494,11 +497,13 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
     has_e = e_feats is not None
     n_tiles = -(-N // TILE_N)
     n_pad = n_tiles * TILE_N
+    nu_pad = max(_round_up(Nu, 8), 8)
     f_tiles = -(-M // TILE_F)
     f_pad = f_tiles * TILE_F
     e_pad = max(_round_up(E, TILE_E), TILE_E)
-    if u.shape != (n_pad, f_pad):
-        u = jnp.pad(u, ((0, n_pad - N), (0, f_pad - M)))
+    if u.shape != (nu_pad, f_pad):
+        u = jnp.pad(u, ((0, nu_pad - Nu), (0, f_pad - M)))
+    if v.shape != (n_pad, f_pad):
         v = jnp.pad(v, ((0, n_pad - N), (0, f_pad - M)))
     n_chunks = _round_up(e_pad // TILE_E, 8)
     snd = jnp.pad(senders.astype(jnp.int32),
@@ -566,7 +571,7 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_pad, TILE_F), u.dtype),     # resident u tile
+            pltpu.VMEM((nu_pad, TILE_F), u.dtype),    # resident u tile
             pltpu.VMEM((TILE_E, TILE_F), u.dtype),    # gathered msg chunk
             pltpu.SMEM((8, TILE_E), jnp.int32),       # sender id chunks
             pltpu.VMEM((TILE_E, max(fe_pad, 128)), jnp.float32),  # e chunk
@@ -761,6 +766,265 @@ def sorted_dmsg(msg: jnp.ndarray, edge_ptr: jnp.ndarray,
     if e_pad != E or f_pad != F:
         out = out[:E, :F]
     return out
+
+
+# ------------------------------------------------------------------
+# fully-fused backward: recompute pretrans in-kernel, emit d_msg + d_v
+# ------------------------------------------------------------------
+
+def _fused_dmsg_kernel(has_e,
+                       lo_s, hi_s,          # SMEM [1, 1, TILE_N]
+                       lo_r, hi_r,          # VMEM [1, 1, TILE_N]
+                       g_lin, g_quad, g_max, g_min, mx, mn,  # VMEM tiles
+                       u_hbm,               # ANY  [N_pad, F_pad]
+                       v_vmem,              # VMEM [TILE_N, TILE_F]
+                       snd_hbm,             # ANY  [n_chunks, TILE_E] int32
+                       *refs):
+    """Backward half of the fused pretrans layer: recompute the edge message
+    with EXACTLY the forward kernel's arithmetic (same gather, same one-hot
+    receiver matmul, same edge-feature matmul — so the max/min tie membership
+    test is bit-exact), then expand the node gradient fields and write
+
+        d_msg[e] = g_lin[r] + 2 m[e] g_quad[r]
+                   + (m[e]==mx[r]) g_max[r] + (m[e]==mn[r]) g_min[r]
+
+    plus the receiver-side gradient d_v[n] = sum over the node's edges of
+    d_msg (accumulated with the same one-hot MXU matmul, transposed).  The
+    [E, F] message tensor exists in HBM in NEITHER pass; d_msg must be
+    emitted (the sender scatter and the edge-feature matmul consume it)."""
+    if has_e:
+        e_hbm, ke = refs[0], refs[1]
+        refs = refs[2:]
+    (dmsg_hbm, dv_ref, u_buf, msg_buf, snd_buf, e_buf, old_buf,
+     sem, snd_sem, e_sem, u_sem, old_sem, w_sem) = refs
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(j * TILE_F, TILE_F)], u_buf, u_sem)
+        cp.start()
+        cp.wait()
+
+    e_start = lo_s[0, 0, 0]
+    e_end = hi_s[0, 0, TILE_N - 1]
+    c0 = e_start // TILE_E
+    c1 = pl.cdiv(e_end, TILE_E)
+    misaligned = e_start % TILE_E != 0
+
+    lo_row = lo_r[0]
+    hi_row = hi_r[0]
+    sub_e = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, 1), 0)
+
+    gl = g_lin[:]
+    gq = g_quad[:]
+    gx = g_max[:]
+    gn = g_min[:]
+    vx = mx[:]
+    vn = mn[:]
+
+    def sweep(c, dv_acc):
+        e0 = pl.multiple_of(c * TILE_E, TILE_E)
+        g0 = pl.multiple_of((c // 8) * 8, 8)
+        snd_cp = pltpu.make_async_copy(
+            snd_hbm.at[pl.ds(g0, 8), :], snd_buf, snd_sem)
+        snd_cp.start()
+        if has_e:
+            e_cp = pltpu.make_async_copy(
+                e_hbm.at[pl.ds(e0, TILE_E), :], e_buf, e_sem)
+            e_cp.start()
+        abs_e_col = sub_e + e0                             # [TILE_E, 1]
+
+        # recompute the message: receiver term (one-hot MXU), sender gather,
+        # edge-feature matmul — the forward kernel's exact op sequence
+        onehot_col = ((abs_e_col >= lo_row)
+                      & (abs_e_col < hi_row)).astype(jnp.float32)
+        dst = jnp.dot(onehot_col, v_vmem[:].astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        snd_cp.wait()
+        row = c - g0
+
+        def gather(r, _):
+            idx = snd_buf[row, r]
+            msg_buf[pl.ds(r, 1), :] = u_buf[pl.ds(idx, 1), :]
+            return 0
+        jax.lax.fori_loop(0, TILE_E, gather, 0, unroll=TILE_E)
+
+        m = msg_buf[:].astype(jnp.float32) + dst
+        if has_e:
+            e_cp.wait()
+            m = m + jnp.dot(e_buf[:].astype(jnp.float32),
+                            ke[:].astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+        ex_lin = jnp.dot(onehot_col, gl, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        ex_quad = jnp.dot(onehot_col, gq, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        ex_gmax = jnp.dot(onehot_col, gx, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        ex_gmin = jnp.dot(onehot_col, gn, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        ex_mx = jnp.dot(onehot_col, vx, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        ex_mn = jnp.dot(onehot_col, vn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+        within = (abs_e_col >= e_start) & (abs_e_col < e_end)
+        d = (ex_lin + 2.0 * m * ex_quad
+             + (m == ex_mx).astype(jnp.float32) * ex_gmax
+             + (m == ex_mn).astype(jnp.float32) * ex_gmin)
+        d = jnp.where(within, d, 0.0)
+
+        # d_v accumulation: transpose of the expansion one-hot
+        dv_acc = dv_acc + jnp.dot(onehot_col.T, d,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when((c == c0) & misaligned)
+        def _():
+            rd_old = pltpu.make_async_copy(
+                dmsg_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)],
+                old_buf, old_sem)
+            rd_old.start()
+            rd_old.wait()
+            msg_buf[:] = jnp.where(within, d, old_buf[:]).astype(u_buf.dtype)
+
+        @pl.when(jnp.logical_not((c == c0) & misaligned))
+        def _():
+            msg_buf[:] = d.astype(u_buf.dtype)
+
+        wr = pltpu.make_async_copy(
+            msg_buf,
+            dmsg_hbm.at[pl.ds(e0, TILE_E), pl.ds(j * TILE_F, TILE_F)], w_sem)
+        wr.start()
+        wr.wait()
+        return dv_acc
+
+    dv = jax.lax.fori_loop(c0, c1, sweep,
+                           jnp.zeros((TILE_N, TILE_F), jnp.float32))
+    dv_ref[:] = dv
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def sorted_pretrans_dmsg(u: jnp.ndarray, v: jnp.ndarray,
+                         senders: jnp.ndarray, edge_ptr: jnp.ndarray,
+                         g_lin: jnp.ndarray, g_quad: jnp.ndarray,
+                         g_max: jnp.ndarray, g_min: jnp.ndarray,
+                         mx: jnp.ndarray, mn: jnp.ndarray,
+                         e_feats: Optional[jnp.ndarray] = None,
+                         ke: Optional[jnp.ndarray] = None,
+                         interpret: bool = False):
+    """Backward of :func:`sorted_pretrans_sketch`: one sweep recomputing the
+    message and emitting ``(d_msg [E, F], d_v [N, F])``.
+
+    WARNING (dtype contract): d_msg is written in u.dtype — callers that need
+    f32 gradients must pass f32 u/v.  Rows outside every node's range are
+    unwritten; mask with the edge mask before consuming.  Like the forward,
+    u may have more rows than v (ghost sender table).
+    """
+    Nu, M = u.shape
+    N = v.shape[0]
+    E = senders.shape[0]
+    has_e = e_feats is not None
+    n_tiles = -(-N // TILE_N)
+    n_pad = n_tiles * TILE_N
+    nu_pad = max(_round_up(Nu, 8), 8)
+    f_tiles = -(-M // TILE_F)
+    f_pad = f_tiles * TILE_F
+    e_pad = max(_round_up(E, TILE_E), TILE_E)
+    if u.shape != (nu_pad, f_pad):
+        u = jnp.pad(u, ((0, nu_pad - Nu), (0, f_pad - M)))
+    if v.shape != (n_pad, f_pad):
+        v = jnp.pad(v, ((0, n_pad - N), (0, f_pad - M)))
+    fields = []
+    for x in (g_lin, g_quad, g_max, g_min, mx, mn):
+        if x.shape != (n_pad, f_pad):
+            x = jnp.pad(x, ((0, n_pad - N), (0, f_pad - M)))
+        fields.append(x.astype(jnp.float32))
+    n_chunks = _round_up(e_pad // TILE_E, 8)
+    snd = jnp.pad(senders.astype(jnp.int32),
+                  (0, n_chunks * TILE_E - E)).reshape(n_chunks, TILE_E)
+    fe_pad = 0
+    if has_e:
+        Fe = e_feats.shape[1]
+        fe_pad = max(_round_up(Fe, 128), 128)
+        e_feats = jnp.pad(e_feats, ((0, e_pad - E), (0, fe_pad - Fe)))
+        ke = jnp.pad(ke, ((0, fe_pad - Fe), (0, f_pad - M)))
+
+    lo = edge_ptr[:-1]
+    hi = edge_ptr[1:]
+    if n_pad != N:
+        tail = jnp.full((n_pad - N,), edge_ptr[-1], jnp.int32)
+        lo = jnp.concatenate([lo, tail])
+        hi = jnp.concatenate([hi, tail])
+    lo_rows = lo.reshape(n_tiles, 1, TILE_N)
+    hi_rows = hi.reshape(n_tiles, 1, TILE_N)
+
+    vma = frozenset().union(*[getattr(jax.typeof(x), 'vma', frozenset())
+                              for x in (u, v, senders, edge_ptr)])
+    out_shape = [
+        jax.ShapeDtypeStruct((e_pad, f_pad), u.dtype, vma=vma),   # d_msg
+        jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32, vma=vma),  # d_v
+    ]
+    row_spec = pl.BlockSpec((1, 1, TILE_N), lambda j, i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    field_spec = pl.BlockSpec((TILE_N, TILE_F), lambda j, i: (i, j),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, TILE_N), lambda j, i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, TILE_N), lambda j, i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        row_spec, row_spec,
+        field_spec, field_spec, field_spec, field_spec,
+        field_spec, field_spec,
+        pl.BlockSpec(memory_space=pl.ANY),            # u (staged per f-tile)
+        pl.BlockSpec((TILE_N, TILE_F), lambda j, i: (i, j),
+                     memory_space=pltpu.VMEM),        # v tile
+        pl.BlockSpec(memory_space=pltpu.HBM),         # senders (row DMA)
+    ]
+    inputs = [lo_rows, hi_rows, lo_rows, hi_rows, *fields, u, v, snd]
+    if has_e:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec((fe_pad, TILE_F), lambda j, i: (0, j),
+                                  memory_space=pltpu.VMEM)]
+        inputs += [e_feats, ke]
+
+    d_msg, d_v = pl.pallas_call(
+        functools.partial(_fused_dmsg_kernel, has_e),
+        grid=(f_tiles, n_tiles),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TILE_N, TILE_F), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nu_pad, TILE_F), u.dtype),    # resident u tile
+            pltpu.VMEM((TILE_E, TILE_F), u.dtype),    # msg / d staging
+            pltpu.SMEM((8, TILE_E), jnp.int32),       # sender id chunks
+            pltpu.VMEM((TILE_E, max(fe_pad, 128)), jnp.float32),  # e chunk
+            pltpu.VMEM((TILE_E, TILE_F), u.dtype),    # old chunk (merge)
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    if e_pad != E or f_pad != M:
+        d_msg = d_msg[:E, :M]
+    if n_pad != N or f_pad != M:
+        d_v = d_v[:N, :M]
+    return d_msg, d_v
 
 
 def pretrans_fits_vmem(n_nodes: int, dtype_bytes: int = 4,
