@@ -243,6 +243,15 @@ def build_problem(cfg: LargeGraphConfig):
 
     feats = rng.randn(cfg.num_nodes, cfg.feat_dim).astype(np.float32)
     labels = neighbor_stats_labels(send, recv, feats, cfg.num_nodes)
+    deg = np.bincount(recv, minlength=cfg.num_nodes).astype(np.float64)
+    d = np.maximum(deg, 1.0)
+    avg_d = {'lin': float(np.mean(d)), 'log': float(np.mean(np.log(d + 1))),
+             'exp': float(np.mean(np.exp(d))) if d.max() < 50 else 0.0}
+    # the global edge list is no longer needed: every per-part view lives in
+    # the partition.  Freeing it here (plus the degree scratch) keeps the
+    # 100M-edge build inside host RAM (VERDICT r4 item 4: the r4 attempt
+    # died at 115/125 GB with everything held in-core).
+    del send, recv, deg, d
 
     # transductive split over real nodes
     val = rng.rand(cfg.num_nodes) < cfg.val_frac
@@ -251,19 +260,18 @@ def build_problem(cfg: LargeGraphConfig):
                                   )[..., 0].astype(bool)
     train_mask = nm & ~val_p
     val_mask = nm & val_p
+    del val, val_p
 
     feats_p = part.scatter_features(feats)                  # [P, Nl, F]
+    del feats
     labels_p = part.scatter_features(labels[:, None])[..., 0]   # [P, Nl]
+    del labels
 
     efeats = None
     if cfg.edge_feat_dim:
         ef = rng.randn(cfg.num_edges, cfg.edge_feat_dim).astype(np.float32)
         efeats = part.scatter_edge_features(ef)
-
-    deg = np.bincount(recv, minlength=cfg.num_nodes).astype(np.float64)
-    d = np.maximum(deg, 1.0)
-    avg_d = {'lin': float(np.mean(d)), 'log': float(np.mean(np.log(d + 1))),
-             'exp': float(np.mean(np.exp(d))) if d.max() < 50 else 0.0}
+        del ef
     return part, feats_p, labels_p, train_mask, val_mask, efeats, avg_d, \
         kernel
 

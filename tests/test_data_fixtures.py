@@ -20,6 +20,19 @@ import pytest
 
 
 def test_zinc_real_pickle_loader(tmp_path):
+    """Fixture format derived from the REFERENCE loader's contract, not from
+    the pna_tpu parser (de-circularized, VERDICT r4 task 3a).  Reference
+    realworld_benchmark/data/molecules.py:
+      :20-21  {split}.pickle = pickle of a list of molecule dicts
+      :24-26  {split}.index  = CSV; ONLY THE FIRST ROW is read and it both
+              subsets AND reorders the pickle entries
+      :30-38  dict keys: num_atom (int), atom_type (torch int tensor of ANY
+              int dtype — the loader calls .long()), bond_type (N x N torch
+              tensor), logP_SA_cycle_normalized (a float — stored as a plain
+              float or a 0-d tensor depending on the pickling run)
+      :52-56  edges = nonzero entries of bond_type; edge feature = the bond
+              value at that entry
+    """
     torch = pytest.importorskip('torch')
     from pna_tpu.data.molecules import ZincDataset, collate_records
 
@@ -31,40 +44,61 @@ def test_zinc_real_pickle_loader(tmp_path):
         for v in range(1, n):
             u = rng.randint(0, v)
             bond[u, v] = bond[v, u] = rng.randint(1, 4)
+        # alternate label representations + a narrow atom dtype: the
+        # reference coerces with .long(), so int32 storage must load
+        label = rng.randn()
         mols.append({'num_atom': n,
-                     'atom_type': torch.tensor(rng.randint(0, 28, n)),
+                     'atom_type': torch.tensor(rng.randint(0, 28, n),
+                                               dtype=torch.int32),
                      'bond_type': torch.tensor(bond),
-                     'logP_SA_cycle_normalized': torch.tensor(rng.randn())})
-    for split, take in (('train', [0, 1, 2]), ('val', [3, 4]), ('test', [5])):
+                     'logP_SA_cycle_normalized':
+                         torch.tensor(label) if i % 2 else float(label)})
+    # index row REORDERS as well as subsets (reference: data[i] for i in
+    # data_idx[0]); a second CSV row must be ignored
+    for split, take in (('train', [2, 0, 1]), ('val', [3, 4]), ('test', [5])):
         with open(tmp_path / f'{split}.pickle', 'wb') as f:
             pickle.dump(mols, f)
         with open(tmp_path / f'{split}.index', 'w') as f:
-            csv.writer(f).writerow(take)
-
+            w = csv.writer(f)
+            w.writerow(take)
+            w.writerow([0])          # trailing rows are never read
     ds = ZincDataset.from_dir(str(tmp_path))
     assert len(ds.train) == 3 and len(ds.val) == 2 and len(ds.test) == 1
-    rec = ds.train[0]
+    rec = ds.train[0]            # index [2, 0, 1] -> first record is mols[2]
     assert rec['node_feats'].shape[1] == 1
     assert rec['senders'].shape == rec['receivers'].shape
     np.testing.assert_allclose(rec['label'],
-                               float(mols[0]['logP_SA_cycle_normalized']))
+                               float(mols[2]['logP_SA_cycle_normalized']))
+    assert rec['node_feats'].shape[0] == mols[2]['num_atom']
     graph, labels = collate_records(ds.train, with_snorm=True)
     assert graph.snorm_n is not None and len(labels) >= 3
     assert ds.avg_d()['log'] > 0
 
 
 def test_superpixels_real_pickle_loader(tmp_path):
+    """Fixture format derived from the REFERENCE loader's contract
+    (realworld_benchmark/data/superpixels.py):
+      :91-97   mnist_75sp_{split}.pkl / cifar10_150sp_{split}.pkl = pickle of
+               the 2-tuple (labels, sp_data); labels may be a plain Python
+               list (the reference wraps with torch.LongTensor)
+      :111     each sp_data entry is indexed ``sample[:2]`` — entries may
+               carry MORE than two elements; only (mean_px, coord) count
+      :126-128 mean_px may be 1-D [N] (the reference reshapes (N, -1));
+               coord is [N, 2] in PIXEL units, divided by img_size (28/32)
+    """
     from pna_tpu.data.superpixels import SuperpixelsDataset
 
     rng = np.random.RandomState(1)
+
     def make_split(n):
-        labels = rng.randint(0, 10, n).astype(np.int64)
-        sp_data = [(rng.rand(rng.randint(8, 14), 1).astype(np.float32),
-                    (rng.rand(sp, 2) * 28).astype(np.float32))
-                   for sp in [rng.randint(8, 14) for _ in range(n)]]
-        # coord rows must match mean_px rows
-        sp_data = [(px, (rng.rand(len(px), 2) * 28).astype(np.float32))
-                   for px, _ in sp_data]
+        labels = [int(x) for x in rng.randint(0, 10, n)]   # plain list
+        sp_data = []
+        for _ in range(n):
+            sp = rng.randint(8, 14)
+            mean_px = rng.rand(sp).astype(np.float32)      # 1-D [N]
+            coord = (rng.rand(sp, 2) * 28).astype(np.float32)
+            # 3-tuple entry: extra trailing element must be ignored
+            sp_data.append((mean_px, coord, np.zeros(3)))
         return labels, sp_data
 
     for split, n in (('train', 8), ('test', 4)):
@@ -74,7 +108,7 @@ def test_superpixels_real_pickle_loader(tmp_path):
     ds = SuperpixelsDataset.from_dir(str(tmp_path), 'MNIST', val_fraction=3)
     assert len(ds.train) == 5 and len(ds.val) == 3 and len(ds.test) == 4
     rec = ds.test[0]
-    # node feat = [mean_px, coord] (superpixels.py:node feats)
+    # node feat = [mean_px, coord] (superpixels.py:126-129)
     assert rec['node_feats'].shape[1] == 3
     assert rec['edge_feats'].ndim == 2
     assert 0 <= rec['label'] < 10
