@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument('--synthetic', action='store_true', default=False)
     p.add_argument('--checkpoint_dir', type=str, default=None,
                    help='directory for latest+best checkpoints (resume-able)')
+    p.add_argument('--metrics_path', type=str, default=None,
+                   help='JSONL per-epoch curve output')
     p.add_argument('--resume', action='store_true', default=False,
                    help='resume from checkpoint_dir/latest.ckpt')
     for flag, typ in [('seed', int), ('epochs', int), ('batch_size', int),
@@ -70,7 +72,8 @@ def main(argv=None):
         lr_schedule_patience=params['lr_schedule_patience'],
         min_lr=params['min_lr'], weight_decay=params['weight_decay'],
         max_time=params['max_time'], metric='roc_auc',
-        checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        metrics_path=args.metrics_path)
 
     trainer = RealworldTrainer(
         model, PNANetHIV.loss, cfg,
