@@ -14,7 +14,12 @@ def main():
     p.add_argument('--seed', type=int, default=1234)
     p.add_argument('--graph_type', type=str, default='RANDOM')
     p.add_argument('--nodes_labels', nargs='+', default=DEFAULT_NODE_LABELS)
-    p.add_argument('--graph_labels', nargs='+', default=DEFAULT_GRAPH_LABELS)
+    p.add_argument('--graph_labels', nargs='+', default=DEFAULT_GRAPH_LABELS,
+                   help='graph-label oracle names from '
+                        'pna_tpu.data.graph_algorithms; the default '
+                        'is_connected reproduces the reference\'s bipartite-'
+                        'coloring bug (graph_algorithms.py:20-31) — pass '
+                        'is_connected_exact for the true predicate')
     p.add_argument('--extrapolation', action='store_true', default=False)
     args = p.parse_args()
 

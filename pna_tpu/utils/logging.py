@@ -29,7 +29,11 @@ class MetricsLogger:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(tensorboard_dir)
             except ImportError:
-                pass
+                # dependency-free event writer (same add_scalar interface,
+                # files readable by stock TensorBoard) — closes the last
+                # observability delta vs the reference's tensorboardX logging
+                from pna_tpu.utils.tb_writer import TBEventWriter
+                self._tb = TBEventWriter(tensorboard_dir)
 
     def log(self, step: int, **metrics: Any) -> None:
         rec = dict(step=step, time=time.time(), **metrics)
