@@ -176,14 +176,18 @@ def test_flagship_distributed_bucketed_matches_oracle(d_graph):
                                    rtol=1e-4, atol=1e-5, err_msg=str(path))
 
 
-@pytest.mark.parametrize("d_graph", [4])
-def test_flagship_distributed_overlap_matches_oracle(d_graph):
+@pytest.mark.parametrize("d_graph,n_layers", [(4, 2), (4, 4)])
+def test_flagship_distributed_overlap_matches_oracle(d_graph, n_layers):
     """overlap=True (split local/boundary aggregation around the all_to_all,
     partial moment sketches combined exactly) still matches the
-    single-device oracle: loss, grads and BN stats."""
+    single-device oracle: loss, grads and BN stats — including the 4-layer
+    stack, where every layer's BatchNorm consumes statistics assembled from
+    the combined partial sketches of the PREVIOUS layer's overlap split
+    (VERDICT r4 item 7)."""
     if len(jax.devices()) < d_graph:
         pytest.skip("not enough devices")
-    send, recv, part, net, params, stats, g_full = _setup(d_graph, True)
+    send, recv, part, net, params, stats, g_full = _setup(
+        d_graph, True, n_layers=n_layers)
     net = net.clone(overlap=True)
     nl, F = part.nodes_per_part, 6
     num_nodes = 48
