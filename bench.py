@@ -60,7 +60,8 @@ N_LAYERS = 4
 
 def build_bench(batch_graphs_n=1024, seed=0, edge_feat=True,
                 compute_dtype=None, kernel="auto", max_buckets=4,
-                flat_opt=False, remat=False):
+                flat_opt=False, remat=False, hidden_dim=None, out_dim=None,
+                edge_dim=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -90,6 +91,15 @@ def build_bench(batch_graphs_n=1024, seed=0, edge_feat=True,
         # no-edge-feat recipe (README.md:61): 0.320 MAE
         net_kw = dict(hidden_dim=75, out_dim=70, edge_dim=0, edge_feat=False,
                       divide_input_first=False, divide_input_last=True)
+    # lane-padding experiment overrides (NOT the reference recipe — a bench
+    # datapoint quantifying what 128-lane-aligned feature dims buy vs the
+    # sub-lane-width 70/60/50 layout churn, VERDICT r4 item 6)
+    if hidden_dim is not None:
+        net_kw['hidden_dim'] = hidden_dim
+    if out_dim is not None:
+        net_kw['out_dim'] = out_dim
+    if edge_dim is not None:
+        net_kw['edge_dim'] = edge_dim
 
     model = PNANetMolecules(
         num_atom_type=ds.num_atom_type, num_bond_type=ds.num_bond_type,
@@ -154,12 +164,14 @@ class BenchRunner:
     """
 
     def __init__(self, batch, edge_feat, compute_dtype, kernel,
-                 max_buckets=4, flat_opt=False, remat=False):
+                 max_buckets=4, flat_opt=False, remat=False,
+                 hidden_dim=None, out_dim=None, edge_dim=None):
         import jax
         train_step, state, dev_batch, n_edges, n_nodes, args = build_bench(
             batch_graphs_n=batch, edge_feat=edge_feat,
             compute_dtype=compute_dtype, kernel=kernel,
-            max_buckets=max_buckets, flat_opt=flat_opt, remat=remat)
+            max_buckets=max_buckets, flat_opt=flat_opt, remat=remat,
+            hidden_dim=hidden_dim, out_dim=out_dim, edge_dim=edge_dim)
         # compile ONCE (AOT); reuse the executable for cost analysis + timing
         self.compiled = train_step.lower(*args).compile()
         self.flops, self.hbm_bytes = 0.0, 0.0
@@ -216,6 +228,12 @@ def main():
                              "pallas_fused", "generic"])
     ap.add_argument("--dtype", default="both", choices=["both", "f32", "bf16"])
     ap.add_argument("--no_edge_feat", action="store_true")
+    # lane-padding experiment (VERDICT r4 item 6): e.g. --hidden_dim 128
+    # --out_dim 128 --edge_dim 128 measures what 128-lane-aligned feature
+    # dims buy; NOT the reference recipe, reported separately
+    ap.add_argument("--hidden_dim", type=int, default=None)
+    ap.add_argument("--out_dim", type=int, default=None)
+    ap.add_argument("--edge_dim", type=int, default=None)
     # block size matters: switching between two compiled executables through
     # the axon tunnel costs ~25-30 ms, so blocks must be >=40 iterations for
     # the switch cost to vanish in the block mean (measured 2026-08-21:
@@ -247,8 +265,13 @@ def main():
     peak_flops, peak_bw = PEAKS.get(kind, (197e12, 819e9))
     edge_feat = not args.no_edge_feat
 
+    overrides = {k: v for k, v in (("hidden_dim", args.hidden_dim),
+                                   ("out_dim", args.out_dim),
+                                   ("edge_dim", args.edge_dim))
+                 if v is not None}
     detail = {"device": kind, "batch_graphs": args.batch,
               "kernel": args.kernel, "edge_feat": edge_feat,
+              **({"dim_overrides": overrides} if overrides else {}),
               "config": "ZINC headline (L=4, hidden 70, out 60, edge_dim 50,"
                         " towers 5)" if edge_feat else
                         "ZINC no-edge-feat (L=4, hidden 75, out 70, towers 5)"}
@@ -265,7 +288,8 @@ def main():
         runners[name] = BenchRunner(
             args.batch, edge_feat, cdt, args.kernel,
             max_buckets=args.max_buckets, flat_opt=args.flat_opt,
-            remat=args.remat)
+            remat=args.remat, hidden_dim=args.hidden_dim,
+            out_dim=args.out_dim, edge_dim=args.edge_dim)
         runners[name].warmup(args.warmup)
     block_n = max(1, args.iters // args.repeats)
     blocks = {name: [] for name, _ in configs}
