@@ -102,6 +102,74 @@ def main():
         time_fn(xla_sketch, msg_d, recv_d), 4)
     result["timing"]["shape"] = {"N": N, "E": E, "F": F}
 
+    # ---- backward sweep kernel (sorted_dmsg) vs its formula in XLA ----
+    from pna_tpu.ops.pallas_kernels import sorted_dmsg, sorted_pretrans_dmsg
+    fields = [rng.randn(N, F).astype(np.float32) for _ in range(4)]
+    g_lin, g_quad, g_max, g_min = fields
+    dmsg = np.asarray(jax.block_until_ready(sorted_dmsg(
+        jnp.asarray(msg), jnp.asarray(ptr), *map(jnp.asarray, fields),
+        jnp.asarray(o_mx.astype(np.float32)),
+        jnp.asarray(o_mn.astype(np.float32)))))
+    o_d = (g_lin[recv] + 2.0 * msg * g_quad[recv]
+           + (msg == o_mx[recv]) * g_max[recv]
+           + (msg == o_mn[recv]) * g_min[recv])
+    ok = bool(np.allclose(dmsg[:E], o_d, rtol=1e-5, atol=1e-4))
+    result["checks"]["dmsg"] = ok
+    if not ok:
+        result["checks"]["dmsg_max_err"] = float(np.abs(dmsg[:E] - o_d).max())
+    dk = jax.jit(lambda m, p, *f: sorted_dmsg(m, p, *f))
+    result["timing"]["dmsg_pallas_ms"] = round(time_fn(
+        dk, msg_d, ptr_d, *map(jnp.asarray, fields),
+        jnp.asarray(o_mx.astype(np.float32)),
+        jnp.asarray(o_mn.astype(np.float32))), 4)
+
+    @jax.jit
+    def xla_dmsg(m, r, gl, gq, gx, gn, vx, vn):
+        fe = jnp.concatenate([gl, gq, gx, gn, vx, vn], axis=-1)[r]
+        return (fe[:, :F] + 2.0 * m * fe[:, F:2 * F]
+                + (m == fe[:, 4 * F:5 * F]) * fe[:, 2 * F:3 * F]
+                + (m == fe[:, 5 * F:]) * fe[:, 3 * F:4 * F])
+    result["timing"]["dmsg_xla_gather_ms"] = round(time_fn(
+        xla_dmsg, msg_d, recv_d, *map(jnp.asarray, fields),
+        jnp.asarray(o_mx.astype(np.float32)),
+        jnp.asarray(o_mn.astype(np.float32))), 4)
+
+    # ---- fused pretrans fwd + recompute bwd, compiled, vs XLA-formed msg --
+    from pna_tpu.ops.pallas_kernels import sorted_pretrans_sketch
+    snd = rng.randint(0, N, E).astype(np.int32)
+    u = (rng.randint(-8, 9, size=(N, F)) * 0.25).astype(np.float32)
+    v = (rng.randint(-8, 9, size=(N, F)) * 0.25).astype(np.float32)
+    pmsg = u[snd] + v[recv]
+    fouts = jax.block_until_ready(sorted_pretrans_sketch(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(snd), jnp.asarray(ptr),
+        with_ties=True))
+    xouts = jax.block_until_ready(sorted_moment_sketch(
+        jnp.asarray(pmsg), jnp.asarray(ptr), with_ties=True))
+    fus_ok = all(bool(np.allclose(np.asarray(a), np.asarray(b),
+                                  rtol=1e-5, atol=1e-4))
+                 for a, b in zip(fouts, xouts))
+    result["checks"]["pretrans_sketch_fused"] = fus_ok
+    f_mx, f_mn = np.asarray(fouts[2]), np.asarray(fouts[3])
+    pd_msg, pd_v = jax.block_until_ready(sorted_pretrans_dmsg(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(snd), jnp.asarray(ptr),
+        *map(jnp.asarray, fields), jnp.asarray(f_mx), jnp.asarray(f_mn)))
+    o_pd = (g_lin[recv] + 2.0 * pmsg * g_quad[recv]
+            + (pmsg == f_mx[recv]) * g_max[recv]
+            + (pmsg == f_mn[recv]) * g_min[recv])
+    ok = bool(np.allclose(np.asarray(pd_msg)[:E], o_pd, rtol=1e-5, atol=1e-4))
+    result["checks"]["pretrans_dmsg"] = ok
+    o_dv = np.zeros((N, F), np.float32)
+    np.add.at(o_dv, recv, o_pd)
+    ok = bool(np.allclose(np.asarray(pd_v), o_dv, rtol=1e-4, atol=1e-3))
+    result["checks"]["pretrans_dv"] = ok
+    fk = jax.jit(lambda *a: sorted_pretrans_sketch(*a, with_ties=True))
+    result["timing"]["pretrans_sketch_ms"] = round(time_fn(
+        fk, jnp.asarray(u), jnp.asarray(v), jnp.asarray(snd), ptr_d), 4)
+    bk = jax.jit(lambda *a: sorted_pretrans_dmsg(*a))
+    result["timing"]["pretrans_dmsg_ms"] = round(time_fn(
+        bk, jnp.asarray(u), jnp.asarray(v), jnp.asarray(snd), ptr_d,
+        *map(jnp.asarray, fields), jnp.asarray(f_mx), jnp.asarray(f_mn)), 4)
+
     ok = all(v for k, v in result["checks"].items() if isinstance(v, bool))
     result["ok"] = ok
     with open(os.path.join(REPO, "PALLAS_TPU_CHECK.json"), "w") as f:
