@@ -83,6 +83,13 @@ def predict_layout_bytes(deg: np.ndarray, num_edges: int, feat_dim: int,
     }
 
 
+# measured bucketed <-> pallas crossover on v5e (benchmarks/largegraph.py,
+# 2026-08-21, streaming-backward kernel): at 500k edges the two tie
+# (51.9 vs 52.9 ms); at 2.5M edges pallas wins (135.5 vs 154.9 ms); at
+# molecular scale (42k edges) bucketed wins (9.1 vs 14.3 ms per step)
+PALLAS_EDGE_THRESHOLD = 1_000_000
+
+
 def choose_layout(senders: np.ndarray, receivers: np.ndarray,
                   num_nodes: int, feat_dim: int,
                   hbm_budget_bytes: float = 12 * 2 ** 30,
@@ -93,8 +100,10 @@ def choose_layout(senders: np.ndarray, receivers: np.ndarray,
 
     ``hbm_budget_bytes`` defaults to ~12 GiB of the v5e's 16 GiB (params,
     XLA scratch and fragmentation take the rest).  Preference order when
-    feasible: bucketed (measured fastest) > pallas sorted-edge (the only
-    degree-agnostic fast path; TPU only) > generic segment ops.  The ELL
+    feasible: below PALLAS_EDGE_THRESHOLD edges, bucketed (measured fastest
+    at molecular scale) > pallas sorted-edge > generic; above it, pallas
+    first (measured fastest at 2.5M-5M edges with the streaming backward
+    kernel, and the only backend that survives hub-degree skew).  The ELL
     layout is never chosen for large graphs (strictly dominated: slower than
     bucketed, OOMs earlier) but its estimate is reported.
     """
@@ -102,6 +111,14 @@ def choose_layout(senders: np.ndarray, receivers: np.ndarray,
     est = predict_layout_bytes(deg, len(senders), feat_dim, dtype_bytes,
                                max_buckets)
     pad_ratio = est['bucketed_edge_pad_ratio']
+    if (on_tpu and len(senders) >= PALLAS_EDGE_THRESHOLD
+            and est['pallas'] <= hbm_budget_bytes):
+        return LayoutChoice(
+            'pallas', dict(sort_edges=True), est,
+            f"large-graph regime ({len(senders)} edges >= "
+            f"{PALLAS_EDGE_THRESHOLD}): sorted-edge Pallas kernel is the "
+            f"measured-fastest backend ({est['pallas']/2**30:.2f} GiB, "
+            "E-bounded, skew-immune)")
     if est['bucketed'] <= hbm_budget_bytes and pad_ratio <= 2.0:
         return LayoutChoice(
             'bucketed', dict(bucket_by_degree=True,

@@ -484,6 +484,10 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
     u may have MORE rows than v (distributed ghost table: local + halo
     sender features); ``senders`` indexes u, ``edge_ptr`` spans v's nodes.
     """
+    # the resident u table must be f32: the per-edge row gather loads one
+    # sublane row at an arbitrary offset, which Mosaic can only lower for
+    # 4-byte elements ("index in dimension 0 is a multiple of 8" for bf16)
+    u = u.astype(jnp.float32)
     Nu, M = u.shape
     N = v.shape[0]
     assert v.shape[1] == M
@@ -574,7 +578,8 @@ def sorted_pretrans_sketch(u: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((nu_pad, TILE_F), u.dtype),    # resident u tile
             pltpu.VMEM((TILE_E, TILE_F), u.dtype),    # gathered msg chunk
             pltpu.SMEM((8, TILE_E), jnp.int32),       # sender id chunks
-            pltpu.VMEM((TILE_E, max(fe_pad, 128)), jnp.float32),  # e chunk
+            pltpu.VMEM((TILE_E, max(fe_pad, 128)),
+                       e_feats.dtype if has_e else jnp.float32),  # e chunk
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -926,6 +931,7 @@ def sorted_pretrans_dmsg(u: jnp.ndarray, v: jnp.ndarray,
     unwritten; mask with the edge mask before consuming.  Like the forward,
     u may have more rows than v (ghost sender table).
     """
+    u = u.astype(jnp.float32)      # same Mosaic constraint as the forward
     Nu, M = u.shape
     N = v.shape[0]
     E = senders.shape[0]
@@ -1008,7 +1014,8 @@ def sorted_pretrans_dmsg(u: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((nu_pad, TILE_F), u.dtype),    # resident u tile
             pltpu.VMEM((TILE_E, TILE_F), u.dtype),    # msg / d staging
             pltpu.SMEM((8, TILE_E), jnp.int32),       # sender id chunks
-            pltpu.VMEM((TILE_E, max(fe_pad, 128)), jnp.float32),  # e chunk
+            pltpu.VMEM((TILE_E, max(fe_pad, 128)),
+                       e_feats.dtype if has_e else jnp.float32),  # e chunk
             pltpu.VMEM((TILE_E, TILE_F), u.dtype),    # old chunk (merge)
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
