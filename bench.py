@@ -61,7 +61,7 @@ N_LAYERS = 4
 def build_bench(batch_graphs_n=1024, seed=0, edge_feat=True,
                 compute_dtype=None, kernel="auto", max_buckets=4,
                 flat_opt=False, remat=False, hidden_dim=None, out_dim=None,
-                edge_dim=None):
+                edge_dim=None, towers=5):
     import jax
     import jax.numpy as jnp
     import optax
@@ -106,7 +106,7 @@ def build_bench(batch_graphs_n=1024, seed=0, edge_feat=True,
         n_layers=N_LAYERS,
         aggregators=('mean', 'max', 'min', 'std'),
         scalers=('identity', 'amplification', 'attenuation'),
-        avg_d=avg_d, readout_type='sum', towers=5,
+        avg_d=avg_d, readout_type='sum', towers=towers,
         graph_norm=True, batch_norm=True, residual=True,
         compute_dtype=compute_dtype, kernel=kernel, max_degree=max_deg,
         remat=remat, **net_kw)
@@ -165,13 +165,14 @@ class BenchRunner:
 
     def __init__(self, batch, edge_feat, compute_dtype, kernel,
                  max_buckets=4, flat_opt=False, remat=False,
-                 hidden_dim=None, out_dim=None, edge_dim=None):
+                 hidden_dim=None, out_dim=None, edge_dim=None, towers=5):
         import jax
         train_step, state, dev_batch, n_edges, n_nodes, args = build_bench(
             batch_graphs_n=batch, edge_feat=edge_feat,
             compute_dtype=compute_dtype, kernel=kernel,
             max_buckets=max_buckets, flat_opt=flat_opt, remat=remat,
-            hidden_dim=hidden_dim, out_dim=out_dim, edge_dim=edge_dim)
+            hidden_dim=hidden_dim, out_dim=out_dim, edge_dim=edge_dim,
+            towers=towers)
         # compile ONCE (AOT); reuse the executable for cost analysis + timing
         self.compiled = train_step.lower(*args).compile()
         self.flops, self.hbm_bytes = 0.0, 0.0
@@ -232,6 +233,7 @@ def main():
     # --out_dim 128 --edge_dim 128 measures what 128-lane-aligned feature
     # dims buy; NOT the reference recipe, reported separately
     ap.add_argument("--hidden_dim", type=int, default=None)
+    ap.add_argument("--towers", type=int, default=5)
     ap.add_argument("--out_dim", type=int, default=None)
     ap.add_argument("--edge_dim", type=int, default=None)
     # block size matters: switching between two compiled executables through
@@ -289,7 +291,7 @@ def main():
             args.batch, edge_feat, cdt, args.kernel,
             max_buckets=args.max_buckets, flat_opt=args.flat_opt,
             remat=args.remat, hidden_dim=args.hidden_dim,
-            out_dim=args.out_dim, edge_dim=args.edge_dim)
+            out_dim=args.out_dim, edge_dim=args.edge_dim, towers=args.towers)
         runners[name].warmup(args.warmup)
     block_n = max(1, args.iters // args.repeats)
     blocks = {name: [] for name, _ in configs}
