@@ -37,7 +37,8 @@ def build_parser():
     p.add_argument('--d_data', type=int, default=1)
     p.add_argument('--d_graph', type=int, default=8)
     p.add_argument('--kernel', default='auto',
-                   choices=['auto', 'bucketed', 'generic', 'pallas'])
+                   choices=['auto', 'bucketed', 'generic', 'pallas',
+                            'pallas_fused'])
     p.add_argument('--hidden_dim', type=int, default=64)
     p.add_argument('--out_dim', type=int, default=64)
     p.add_argument('--n_layers', type=int, default=4)
@@ -66,7 +67,8 @@ def main(argv=None):
     from pna_tpu.train.largegraph import LargeGraphConfig, train_largegraph
     args = build_parser().parse_args(argv)
     interpret = args.pallas_interpret or (
-        args.kernel == 'pallas' and jax.default_backend() != 'tpu')
+        args.kernel in ('pallas', 'pallas_fused')
+        and jax.default_backend() != 'tpu')
     cfg = LargeGraphConfig(
         num_nodes=args.nodes, num_edges=args.edges, graph_kind=args.graph,
         exponent=args.exponent, feat_dim=args.feat_dim,

@@ -236,7 +236,7 @@ def make_distributed_train_step(part: EdgePartition, mesh: Mesh,
     # interpreter, and the compiled TPU path fails to lower the inserted
     # `pvary` primitive inside the kernel (measured on the real chip,
     # 2026-08-21).
-    check_vma = net.kernel != 'pallas'
+    check_vma = net.kernel not in ('pallas', 'pallas_fused')
 
     def local_loss(params, batch_stats, feats, targets, senders_l,
                    receivers_l, edge_mask, send_idx, send_mask, node_mask,
@@ -302,7 +302,8 @@ def init_net(net: DistributedPNANet, part: EdgePartition, feat_dim: int,
         e = jnp.zeros((g.senders.shape[0], efeats.shape[-1]))
     # the oracle graph has no edge_ptr/bucket tables; the kernel choice does
     # not change the param tree, so init through the generic path
-    init_n = net.clone(kernel='auto') if net.kernel == 'pallas' else net
+    init_n = (net.clone(kernel='auto')
+              if net.kernel in ('pallas', 'pallas_fused') else net)
     variables = init_n.init({'params': jax.random.PRNGKey(seed)}, g, feats,
                             train=False, e=e)
     return variables['params'], variables.get('batch_stats', FrozenDict())

@@ -88,7 +88,7 @@ def make_node_train_step(part: EdgePartition, mesh: Mesh,
     # interpret mode the checker rejects the kernel, and on real TPU the
     # inserted `pvary` primitive has no Pallas TC lowering (hit 2026-08-21
     # running the hub-skewed dryrun config on the real chip)
-    check_vma = net.kernel != 'pallas'
+    check_vma = net.kernel not in ('pallas', 'pallas_fused')
 
     def local_forward(params, batch_stats, feats, targets, lmask, senders_l,
                       receivers_l, edge_mask, send_idx, send_mask, node_mask,
@@ -238,7 +238,7 @@ def build_problem(cfg: LargeGraphConfig):
 
     if kernel in ('bucketed',):
         part = bucketize_partition(part)
-    elif kernel == 'pallas':
+    elif kernel in ('pallas', 'pallas_fused'):
         part = sort_partition_edges(part)
 
     feats = rng.randn(cfg.num_nodes, cfg.feat_dim).astype(np.float32)
