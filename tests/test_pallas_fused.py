@@ -158,3 +158,42 @@ def test_fused_layer_pallas_fused_vs_pallas(divide_input, edge_feat):
     for a, b in zip(flat_f, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_layer_bf16_compute_dtype():
+    """bf16 compute dtype through the fused kernels (interpret mode): both
+    round-5 TPU-only failures (bf16 e-chunk DMA dtype mismatch, bf16 row
+    gather alignment) were invisible to the f32-only tests — keep a bf16
+    fwd+bwd path exercised."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(5)
+    g = batch_graphs(_random_graphs(rng), with_snorm=True, sort_edges=True)
+    h = jnp.asarray(rng.randn(g.n_node_pad, 12).astype(np.float32))
+    e = jnp.asarray(rng.randn(g.senders.shape[0], 6).astype(np.float32))
+
+    def make(kernel, cdt):
+        return PNALayerFused(out_dim=12, aggregators=AGGS,
+                             scalers=('identity', 'amplification',
+                                      'attenuation'),
+                             avg_d=AVG_D, towers=3, divide_input=True,
+                             graph_norm=True, batch_norm=True, residual=True,
+                             edge_features=True, compute_dtype=cdt,
+                             kernel=kernel, pallas_interpret=True)
+
+    var = make('pallas_fused', None).init({'params': jax.random.PRNGKey(0)},
+                                          g, h, e, train=False)
+
+    def loss(v, kernel, cdt):
+        out, _ = make(kernel, cdt).apply(
+            v, g, h, e, train=True, rngs={'dropout': jax.random.PRNGKey(1)},
+            mutable=['batch_stats'])
+        return jnp.sum(out * out)
+
+    l_bf16, g_bf16 = jax.value_and_grad(loss)(var, 'pallas_fused',
+                                              jnp.bfloat16)
+    l_f32 = loss(var, 'pallas_fused', None)
+    assert np.isfinite(float(l_bf16))
+    # bf16 tolerance: relative agreement with the f32 path
+    np.testing.assert_allclose(float(l_bf16), float(l_f32), rtol=0.05)
+    for leaf in jax.tree_util.tree_leaves(g_bf16):
+        assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float32)))
