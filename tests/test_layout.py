@@ -83,3 +83,25 @@ def test_ell_estimate_dominated_on_hubs():
     send, recv = _hub_graph(n, e)
     est = predict_layout_bytes(np.bincount(recv, minlength=n), e, 64)
     assert est['ell'] > est['pallas'] * 10
+
+
+def test_large_uniform_graph_prefers_pallas_on_tpu():
+    """Above PALLAS_EDGE_THRESHOLD edges the sorted-edge kernel is the
+    measured-fastest backend even on uniform in-degrees (250k/2.5M: 135.5 ms
+    vs bucketed 154.9 ms with the streaming backward,
+    RESULTS_largegraph_250k.json) — choose_layout must rank it first on TPU
+    and still fall back to bucketed off-TPU."""
+    n, e = 250_000, 2_500_000
+    rng = np.random.RandomState(0)
+    send = rng.randint(0, n, e).astype(np.int64)
+    recv = rng.randint(0, n, e).astype(np.int64)
+    c = choose_layout(send, recv, n, feat_dim=64, on_tpu=True)
+    assert c.kernel == 'pallas'
+    c_cpu = choose_layout(send, recv, n, feat_dim=64, on_tpu=False)
+    assert c_cpu.kernel == 'bucketed'
+    # molecular scale stays bucketed on TPU
+    n2, e2 = 20_000, 50_000
+    send2 = rng.randint(0, n2, e2).astype(np.int64)
+    recv2 = rng.randint(0, n2, e2).astype(np.int64)
+    assert choose_layout(send2, recv2, n2, feat_dim=64,
+                         on_tpu=True).kernel == 'bucketed'
