@@ -55,3 +55,14 @@ def test_main_superpixels_synthetic():
         '--synthetic', '--epochs', '2', '--batch_size', '32',
         '--hidden_dim', '16', '--out_dim', '16', '--L', '2', '--towers', '2'])
     assert np.isfinite(best['test_metric'])
+
+
+def test_pyg_example_synthetic(capsys):
+    """The PyG end-to-end example trainer (reference
+    models/pytorch_geometric/example.py) runs on the synthetic fallback:
+    degree-histogram avg_deg, PNAConvSimple stack, per-epoch ROC-AUC,
+    plateau schedule."""
+    from pna_tpu.cli import pyg_example
+    best = pyg_example.main(['--synthetic', '--epochs', '2',
+                             '--batch_size', '256'])
+    assert 0.0 <= best[0] <= 1.0 and best[2] >= 1
