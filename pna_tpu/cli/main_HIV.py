@@ -26,6 +26,8 @@ def main(argv=None):
                    help='directory for latest+best checkpoints (resume-able)')
     p.add_argument('--metrics_path', type=str, default=None,
                    help='JSONL per-epoch curve output')
+    p.add_argument('--tensorboard_dir', type=str, default=None,
+                   help='TensorBoard event dir (reference main_*.py TB logging)')
     p.add_argument('--resume', action='store_true', default=False,
                    help='resume from checkpoint_dir/latest.ckpt')
     for flag, typ in [('seed', int), ('epochs', int), ('batch_size', int),
@@ -73,7 +75,8 @@ def main(argv=None):
         min_lr=params['min_lr'], weight_decay=params['weight_decay'],
         max_time=params['max_time'], metric='roc_auc',
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        metrics_path=args.metrics_path)
+        metrics_path=args.metrics_path,
+        tensorboard_dir=args.tensorboard_dir)
 
     trainer = RealworldTrainer(
         model, PNANetHIV.loss, cfg,

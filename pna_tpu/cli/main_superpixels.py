@@ -26,6 +26,8 @@ def main(argv=None):
                    help='directory for latest+best checkpoints (resume-able)')
     p.add_argument('--metrics_path', type=str, default=None,
                    help='JSONL per-epoch curve output')
+    p.add_argument('--tensorboard_dir', type=str, default=None,
+                   help='TensorBoard event dir (reference main_*.py TB logging)')
     p.add_argument('--resume', action='store_true', default=False,
                    help='resume from checkpoint_dir/latest.ckpt')
     p.add_argument('--synthetic', action='store_true', default=False)
@@ -89,7 +91,8 @@ def main(argv=None):
         min_lr=params['min_lr'], weight_decay=params['weight_decay'],
         max_time=params['max_time'], metric='accuracy',
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        metrics_path=args.metrics_path)
+        metrics_path=args.metrics_path,
+        tensorboard_dir=args.tensorboard_dir)
 
     def fwd(graph):
         if net['edge_feat']:

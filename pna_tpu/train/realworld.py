@@ -90,6 +90,10 @@ class PipelineConfig:
     checkpoint_path: Optional[str] = None
     metric: str = 'mae'  # 'mae' | 'accuracy' | 'roc_auc'
     metrics_path: Optional[str] = None  # JSONL per-epoch metrics
+    # TensorBoard event dir (reference main_molecules.py:16,138-142 logs
+    # scalars via tensorboardX; pna_tpu.utils.tb_writer provides a
+    # dependency-free writer when tensorboardX is absent)
+    tensorboard_dir: Optional[str] = None
     # checkpoint-restart (TPU-native addition; the reference never resumes,
     # multitask_benchmark/util/train.py:207-218): a CheckpointManager
     # directory gets a 'latest' checkpoint every epoch (params, opt state,
@@ -246,9 +250,10 @@ class RealworldTrainer:
         scheduler = ReduceLROnPlateau(cfg.init_lr, cfg.lr_reduce_factor,
                                       cfg.lr_schedule_patience, cfg.min_lr)
         logger = None
-        if cfg.metrics_path:
+        if cfg.metrics_path or cfg.tensorboard_dir:
             from pna_tpu.utils.logging import MetricsLogger
-            logger = MetricsLogger(cfg.metrics_path)
+            logger = MetricsLogger(cfg.metrics_path,
+                                   tensorboard_dir=cfg.tensorboard_dir)
         history = []
         best_val = float('inf') if select_best == 'min' else -float('inf')
         best = None
