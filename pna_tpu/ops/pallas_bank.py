@@ -64,12 +64,19 @@ def _zero_ct(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
+# edge count above which the streaming backward sweep (sorted_dmsg) is used
+# by default: at 65k edges it ties the XLA wide gather (PALLAS_TPU_CHECK
+# dmsg 1.36 vs 1.31 ms); at 2.5M edges it wins the whole train step 2.53x
+# (RESULTS_largegraph_250k.json, measured back-to-back 2026-08-21)
+BWD_KERNEL_EDGE_THRESHOLD = 256_000
+
+
 def make_pallas_raw_bank(receivers: jnp.ndarray,
                          edge_mask: Optional[jnp.ndarray],
                          edge_ptr: jnp.ndarray,
                          max_degree: int = 0,
                          interpret: bool = False,
-                         bwd_kernel: bool = True):
+                         bwd_kernel: Optional[bool] = None):
     """Bind the graph layout; returns ``raw(msg, aggregators) -> Z [N, A, F]``
     (f32, aggregators in caller order) with a full custom VJP.
 
@@ -77,10 +84,16 @@ def make_pallas_raw_bank(receivers: jnp.ndarray,
     depth); 0 = unknown.  ``interpret`` runs the kernel in interpreter mode
     (CPU tests).
 
+    ``bwd_kernel``: True = streaming Pallas backward sweep (sorted_dmsg),
+    False = XLA gather backward, None (default) = pick by edge count
+    (BWD_KERNEL_EDGE_THRESHOLD — the measured tie point).
+
     The layout arrays ride through the custom-VJP boundary as explicit
     arguments (zero cotangents), NOT closure — inside ``shard_map`` they are
     tracers, and ``custom_vjp`` does not support closed-over tracers (this is
     what lets ``kernel='pallas'`` run in the distributed step)."""
+    if bwd_kernel is None:
+        bwd_kernel = receivers.shape[0] >= BWD_KERNEL_EDGE_THRESHOLD
     if edge_mask is not None:
         n_real = jnp.sum(edge_mask.astype(jnp.int32))
         ptr = jnp.minimum(edge_ptr, n_real).astype(jnp.int32)
