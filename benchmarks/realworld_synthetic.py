@@ -25,6 +25,8 @@ SPECS = [
      'roc_auc', 'max'),
     ('mnist', 'main_superpixels MNIST (reference config, README.md:64-70)',
      'accuracy', 'max'),
+    ('cifar10', 'main_superpixels CIFAR10 (reference config, '
+                'README.md:79-85)', 'accuracy', 'max'),
 ]
 
 
